@@ -1,0 +1,151 @@
+"""Full-sync orchestration — the engine's analog of ``Sync.run``.
+
+Parity: reference cartography/sync.py:99-122 runs ordered stages (indexes,
+providers, analysis last) under one update tag; intel/aws/__init__.py runs
+AWS resources in dependency order with permissions + tags deferred to the
+end.  Here each stage is a pure DataFrame program committing one snapshot;
+stage checkpoints make a killed run resume idempotently (store.stage_done).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from cartography_spark.core.store import GraphStore
+from cartography_spark.kg.materialize import sync_documents
+from cartography_spark.modules import aws_iam, aws_tags, okta, permissions
+from cartography_spark.modules.aws_base import sync_accounts
+from cartography_spark.modules.aws_emr import EMR_CLUSTER_SCHEMA, sync_emr
+from cartography_spark.modules.aws_iam import USER_SCHEMA
+from cartography_spark.modules.github import sync_github
+from cartography_spark.sources import fixtures as fx
+from cartography_spark.sources.docs_synth import interleaved_documents
+
+
+@dataclass
+class SyncResult:
+    update_tag: int
+    version: int
+    node_count: int
+    edge_count: int
+
+
+def run_sync(
+    spark: SparkSession,
+    store: GraphStore,
+    sf_dir: str,
+    update_tag: int,
+    variant: str = "t1",
+    with_documents: bool = True,
+    with_github: bool = True,
+    mention_impl: str = "native",
+) -> SyncResult:
+    """One full sync at the given update tag.
+
+    Stage order mirrors the reference's dependency ordering: accounts first
+    (every RESOURCE join needs them), principals before memberships/trusts,
+    policies before permission evaluation, tags and analysis-adjacent
+    derivations last.
+    """
+    # --- extraction (the reference's `get`): fixture DataFrames -------------
+    accounts = fx.aws_accounts(spark, sf_dir)
+    users = fx.iam_users(spark, sf_dir, variant)
+    groups = fx.iam_groups(spark, sf_dir)
+    roles = fx.iam_roles(spark, sf_dir, variant)
+    memberships = fx.iam_group_memberships(spark, sf_dir, variant)
+    clusters = fx.emr_clusters(spark, sf_dir, variant)
+    buckets = fx.s3_buckets(spark, sf_dir)
+    policies = fx.iam_policies(spark, sf_dir)
+    statements = fx.iam_policy_statements(spark, sf_dir)
+    tags = fx.resource_tags(spark, sf_dir)
+
+    # --- load stages ---------------------------------------------------------
+    sync_accounts(store, accounts, update_tag)
+    aws_iam.sync_principals(store, users, groups, roles, update_tag)
+    aws_iam.sync_role_trusts(store, roles, update_tag)
+    aws_iam.sync_policies(store, policies, statements, update_tag)
+    aws_iam.sync_memberships(store, memberships, update_tag)
+    sync_emr(store, clusters, update_tag)
+
+    # S3 buckets (simple asset family, reused by the permission theta-join)
+    if not store.stage_done("aws:s3", update_tag):
+        from cartography_spark.core.loader import compile_edges, compile_nodes
+        from cartography_spark.core.model import NodeSchema, PropertyRef
+        from cartography_spark.modules.aws_base import account_resource_rel
+
+        s3_schema = NodeSchema(
+            label="S3Bucket",
+            id=PropertyRef("arn"),
+            properties={"name": PropertyRef("name"), "account_id": PropertyRef("account_id")},
+            sub_resource_rel=account_resource_rel(),
+        )
+        store.upsert(
+            compile_nodes(buckets, s3_schema, update_tag),
+            compile_edges(buckets, s3_schema, store.nodes(), update_tag),
+            "aws:s3",
+            update_tag,
+        )
+
+    okta.sync_okta(
+        store,
+        fx.okta_orgs(spark, sf_dir),
+        fx.okta_groups(spark, sf_dir),
+        fx.okta_users(spark, sf_dir),
+        fx.okta_group_members(spark, sf_dir),
+        update_tag,
+    )
+    okta.sync_saml(store, update_tag)
+
+    if with_github:
+        sync_github(
+            store,
+            fx.github_repos(spark, sf_dir),
+            fx.github_requirements(spark, sf_dir),
+            fx.github_users(spark, sf_dir),
+            update_tag,
+        )
+
+    # deferred stages (reference defers rpr + tags to the end,
+    # intel/aws/__init__.py:62-76)
+    permissions.sync_permission_edges(store, policies, statements, update_tag)
+    permissions.sync_sts_assumerole(store, policies, statements, update_tag)
+    aws_tags.sync_tags(store, tags, update_tag)
+
+    # --- documents path -------------------------------------------------------
+    if with_documents:
+        docs = interleaved_documents(spark, sf_dir)
+        sync_documents(store, docs, update_tag, impl=mention_impl)
+
+    # --- cleanup (stale elements from prior tags) ------------------------------
+    run_cleanup(spark, store, update_tag)
+
+    meta = store.current_meta()
+    return SyncResult(
+        update_tag=update_tag,
+        version=meta.get("version", 0),
+        node_count=meta.get("metrics", {}).get("node_rows", -1),
+        edge_count=meta.get("metrics", {}).get("edge_rows", -1),
+    )
+
+
+def run_cleanup(spark: SparkSession, store: GraphStore, update_tag: int) -> None:
+    """Global stale cleanup across the synced schemas.
+
+    The reference scopes each cleanup job to the sub-resource being synced;
+    a full sync over every tenant is equivalent to cleaning each scoped
+    family — implemented set-wise in two commits (edges legs use the same
+    predicate, nodes DETACH-cascade).
+    """
+    stage = "cleanup:global"
+    if store.stage_done(stage, update_tag):
+        return
+    from pyspark.sql import functions as F
+
+    nodes, edges = store.nodes(), store.edges()
+    stale_nodes = nodes.where(F.col("lastupdated") != int(update_tag)).select("label", "id")
+    stale_edges = edges.where(F.col("lastupdated") != int(update_tag)).select(
+        "src_id", "rel_label", "dst_id"
+    )
+    store.delete(stale_nodes, stale_edges, stage, update_tag)

@@ -1,0 +1,45 @@
+"""AWSAccount root nodes + shared helpers for AWS modules.
+
+Parity: reference intel/aws/organizations.py loads AWSAccount nodes; every
+asset schema declares its sub_resource_rel to AWSAccount
+(models/core/nodes.py:71-84).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from cartography_spark.core.loader import compile_nodes
+from cartography_spark.core.model import (
+    LinkDirection,
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    TargetNodeMatcher,
+)
+from cartography_spark.core.store import GraphStore
+
+ACCOUNT_SCHEMA = NodeSchema(
+    label="AWSAccount",
+    id=PropertyRef("id"),
+    properties={"name": PropertyRef("name")},
+)
+
+
+def account_resource_rel() -> RelSchema:
+    """The (AWSAccount)-[:RESOURCE]->(asset) tenancy edge every AWS asset
+    declares (INWARD from the asset's point of view)."""
+    return RelSchema(
+        target_label="AWSAccount",
+        rel_label="RESOURCE",
+        direction=LinkDirection.INWARD,
+        matcher=TargetNodeMatcher({"id": PropertyRef("account_id")}),
+    )
+
+
+def sync_accounts(store: GraphStore, accounts: DataFrame, update_tag: int) -> None:
+    stage = "aws:accounts"
+    if store.stage_done(stage, update_tag):
+        return
+    nodes = compile_nodes(accounts, ACCOUNT_SCHEMA, update_tag)
+    store.upsert(nodes, None, stage, update_tag)

@@ -1,0 +1,152 @@
+"""Okta module: orgs, groups, users, memberships, and the Okta->AWS SAML
+bridge.
+
+Parity:
+  * group/user load + MEMBER_OF_OKTA_GROUP — reference okta/groups.py:168-249
+  * SAML mapping: regex-extract role + account from the group name, build
+    the role ARN, join to AWSRole, MERGE ALLOWED_BY, then the multi-hop
+    CAN_ASSUME_ROLE for humans — reference okta/awssaml.py:23-124.
+    The reference's Python regex loop becomes a native ``regexp_extract``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.model import (
+    LinkDirection,
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    TargetNodeMatcher,
+)
+from cartography_spark.core.store import GraphStore
+
+ORG_SCHEMA = NodeSchema(label="OktaOrganization", id=PropertyRef("id"))
+
+ORG_REL = RelSchema(
+    target_label="OktaOrganization",
+    rel_label="RESOURCE",
+    direction=LinkDirection.INWARD,
+    matcher=TargetNodeMatcher({"id": PropertyRef("org_id")}),
+)
+
+GROUP_SCHEMA = NodeSchema(
+    label="OktaGroup",
+    id=PropertyRef("id"),
+    properties={"name": PropertyRef("name")},
+    sub_resource_rel=ORG_REL,
+)
+
+USER_SCHEMA = NodeSchema(
+    label="OktaUser",
+    id=PropertyRef("id"),
+    properties={
+        "login": PropertyRef("login", extra_index=True),
+        "first_name": PropertyRef("first_name"),
+        "last_name": PropertyRef("last_name"),
+    },
+    sub_resource_rel=ORG_REL,
+)
+
+MEMBER_SCHEMA = NodeSchema(
+    label="OktaUser",
+    id=PropertyRef("user_id"),
+    other_rels=(
+        RelSchema(
+            target_label="OktaGroup",
+            rel_label="MEMBER_OF_OKTA_GROUP",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("group_id")}),
+        ),
+    ),
+)
+
+# Group-name grammar "aws#{role}#{accountid}" (the reference's default regex
+# okta/awssaml.py:23-37 parses "aws#{{accountid}}#{{role}}"-family names).
+SAML_RE = r"^aws#([^#]+)#(\d{12})$"
+
+
+def sync_okta(
+    store: GraphStore,
+    orgs: DataFrame,
+    groups: DataFrame,
+    users: DataFrame,
+    members: DataFrame,
+    update_tag: int,
+) -> None:
+    if not store.stage_done("okta:orgs", update_tag):
+        store.upsert(compile_nodes(orgs, ORG_SCHEMA, update_tag), None, "okta:orgs", update_tag)
+    for stage, df, schema in (
+        ("okta:groups", groups, GROUP_SCHEMA),
+        ("okta:users", users, USER_SCHEMA),
+    ):
+        if store.stage_done(stage, update_tag):
+            continue
+        store.upsert(
+            compile_nodes(df, schema, update_tag),
+            compile_edges(df, schema, store.nodes(), update_tag),
+            stage,
+            update_tag,
+        )
+    if not store.stage_done("okta:members", update_tag):
+        store.upsert(
+            None,
+            compile_edges(members, MEMBER_SCHEMA, store.nodes(), update_tag),
+            "okta:members",
+            update_tag,
+        )
+
+
+def sync_saml(store: GraphStore, update_tag: int) -> None:
+    """(AWSRole)<-[:ALLOWED_BY]-(OktaGroup) from group-name regex, then the
+    transitive (OktaUser)-[:CAN_ASSUME_ROLE]->(AWSRole) hop."""
+    stage = "okta:saml"
+    if store.stage_done(stage, update_tag):
+        return
+    nodes = store.nodes()
+    groups = nodes.where(F.col("label") == "OktaGroup").select(
+        F.col("id").alias("group_id"), F.element_at("props", "name").alias("gname")
+    )
+    mapped = groups.select(
+        "group_id",
+        F.concat(
+            F.lit("arn:aws:iam::"),
+            F.regexp_extract("gname", SAML_RE, 2),
+            F.lit(":role/"),
+            F.regexp_extract("gname", SAML_RE, 1),
+        ).alias("role_arn"),
+    ).where(F.regexp_extract("gname", SAML_RE, 2) != "")
+
+    roles = nodes.where(F.col("label") == "AWSRole").select(F.col("id").alias("role_arn"))
+    allowed = mapped.join(F.broadcast(roles), "role_arn", "inner")
+
+    allowed_edges = allowed.select(
+        F.col("role_arn").alias("src_id"),
+        F.lit("AWSRole").alias("src_label"),
+        F.lit("ALLOWED_BY").alias("rel_label"),
+        F.col("group_id").alias("dst_id"),
+        F.lit("OktaGroup").alias("dst_label"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(int(update_tag)).alias("lastupdated"),
+    ).dropDuplicates(["src_id", "rel_label", "dst_id"])
+
+    # Multi-hop: user -MEMBER_OF_OKTA_GROUP-> group -ALLOWED_BY- role
+    memb = store.edges().where(F.col("rel_label") == "MEMBER_OF_OKTA_GROUP").select(
+        F.col("src_id").alias("user_id"), F.col("dst_id").alias("group_id")
+    )
+    can_assume = memb.join(F.broadcast(allowed), "group_id", "inner").select(
+        F.col("user_id").alias("src_id"),
+        F.lit("OktaUser").alias("src_label"),
+        F.lit("CAN_ASSUME_ROLE").alias("rel_label"),
+        F.col("role_arn").alias("dst_id"),
+        F.lit("AWSRole").alias("dst_label"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(int(update_tag)).alias("lastupdated"),
+    ).dropDuplicates(["src_id", "rel_label", "dst_id"])
+
+    store.upsert(None, allowed_edges.unionByName(can_assume), stage, update_tag)

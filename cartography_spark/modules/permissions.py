@@ -1,0 +1,198 @@
+"""IAM wildcard policy evaluation — the engine's one theta-join.
+
+Parity: cartography/intel/aws/permission_relationships.py — the reference
+nested-loops principals x resources in driver Python (:159-184), evaluating
+compiled wildcard regexes per pair (:21-130, compile at :199-225).  Here the
+same truth table runs as a **vectorized Arrow-batched pandas UDF** over a
+pruned (principal x resource) frame:
+
+  1. statements are grouped per principal JVM-side (collect_list of structs
+     -> JSON once, not per pair);
+  2. the candidate pair frame is built with a broadcast of the resource
+     dimension (resources per service are dimension-sized; principals are
+     the big side and stay partitioned);
+  3. the UDF compiles each distinct wildcard pattern once per worker via an
+     lru_cache (the reference hoists compilation identically :227-243) and
+     evaluates allow/deny precedence batch-wise.
+
+IAM matching semantics reproduced: case-insensitive full-string match where
+``*`` -> ``.*`` and ``?`` -> ``.`` (permission_relationships.py:199-225);
+Deny wins over Allow (:117-130); evaluation requires BOTH an action match
+and a resource match within the same statement.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cartography_spark.core.store import GraphStore
+from cartography_spark.modules.aws_iam import arn_account
+
+
+def _principal_statements(policies: DataFrame, statements: DataFrame) -> DataFrame:
+    """(principal_arn, stmts_json) — all statements of all the principal's
+    policies, serialized once for Arrow transfer."""
+    joined = policies.join(statements, "policy_id", "inner")
+    return (
+        joined.groupBy("principal_arn")
+        .agg(
+            F.to_json(
+                F.collect_list(F.struct("effect", "action", "resource"))
+            ).alias("stmts_json")
+        )
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def _eval_policy(
+    stmts_json: pd.Series, resource_arn: pd.Series, permission: pd.Series
+) -> pd.Series:
+    import json
+    import re
+    from functools import lru_cache
+
+    @lru_cache(maxsize=4096)
+    def compiled(pattern: str) -> "re.Pattern":
+        # IAM wildcard grammar -> anchored case-insensitive regex.
+        return re.compile(
+            "^" + re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$",
+            re.IGNORECASE,
+        )
+
+    @lru_cache(maxsize=4096)
+    def parsed(sj: str):
+        return json.loads(sj)
+
+    def matches(patterns, value) -> bool:
+        return any(compiled(p).match(value) for p in (patterns or []))
+
+    out = []
+    for sj, arn, perm in zip(stmts_json, resource_arn, permission):
+        if sj is None:
+            out.append(False)
+            continue
+        allowed = denied = False
+        for s in parsed(sj):
+            if matches(s.get("action"), perm) and matches(s.get("resource"), arn):
+                if s.get("effect") == "Deny":
+                    denied = True
+                else:
+                    allowed = True
+        out.append(allowed and not denied)
+    return pd.Series(out)
+
+
+def evaluate_permissions(
+    policies: DataFrame,
+    statements: DataFrame,
+    resources: DataFrame,
+    permission: str,
+    broadcast_resources: bool = True,
+) -> DataFrame:
+    """(principal_arn, resource_arn) pairs where `permission` is granted.
+
+    ``resources`` needs one column ``arn``.  At scale: pre-prune the cross
+    join by service (an s3 permission can only match s3 ARNs or '*'), then
+    broadcast the pruned dimension.
+    """
+    pstmts = _principal_statements(policies, statements)
+    res = resources.select(F.col("arn").alias("resource_arn")).distinct()
+    if broadcast_resources:
+        res = F.broadcast(res)
+    pairs = pstmts.crossJoin(res)
+    return (
+        pairs.withColumn(
+            "ok", _eval_policy("stmts_json", "resource_arn", F.lit(permission))
+        )
+        .where(F.col("ok"))
+        .select("principal_arn", "resource_arn")
+    )
+
+
+def sync_permission_edges(
+    store: GraphStore,
+    policies: DataFrame,
+    statements: DataFrame,
+    update_tag: int,
+    permission: str = "s3:GetObject",
+    target_label: str = "S3Bucket",
+    rel_label: str = "CAN_READ",
+) -> None:
+    """Materialize permission edges (reference permission_relationships.yaml
+    drives rel_label/permission pairs the same way)."""
+    stage = f"aws:permissions:{rel_label}"
+    if store.stage_done(stage, update_tag):
+        return
+    resources = (
+        store.nodes().where(F.col("label") == target_label).select(F.col("id").alias("arn"))
+    )
+    granted = evaluate_permissions(policies, statements, resources, permission)
+    edges = granted.select(
+        F.col("principal_arn").alias("src_id"),
+        F.lit("AWSPrincipal").alias("src_label"),
+        F.lit(rel_label).alias("rel_label"),
+        F.col("resource_arn").alias("dst_id"),
+        F.lit(target_label).alias("dst_label"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(int(update_tag)).alias("lastupdated"),
+    ).dropDuplicates(["src_id", "rel_label", "dst_id"])
+    store.upsert(None, edges, stage, update_tag)
+
+
+def sync_sts_assumerole(
+    store: GraphStore, policies: DataFrame, statements: DataFrame, update_tag: int
+) -> None:
+    """(principal)-[:STS_ASSUMEROLE_ALLOW]->(role) derivation.
+
+    Parity: iam.py:448-493 — 3-hop pattern (account)-[:RESOURCE]->(principal)
+    x (role)-[:TRUSTS_AWS_PRINCIPAL]->(:root of that account), gated by the
+    principal's policies granting sts:AssumeRole on the role's ARN.
+    """
+    stage = "aws:permissions:sts_assumerole"
+    if store.stage_done(stage, update_tag):
+        return
+    edges, nodes = store.edges(), store.nodes()
+
+    trusts = edges.where(F.col("rel_label") == "TRUSTS_AWS_PRINCIPAL").select(
+        F.col("src_id").alias("role_arn"), F.col("dst_id").alias("trusted")
+    )
+    root_trusts = trusts.where(F.col("trusted").endswith(":root")).select(
+        "role_arn", arn_account(F.col("trusted")).alias("trusted_acct")
+    )
+
+    principals = nodes.where(
+        F.col("label").isin("AWSRole", "AWSUser")
+    ).select(
+        F.col("id").alias("principal_arn"),
+        F.element_at("props", "account_id").alias("acct"),
+    ).where(F.col("acct").isNotNull())
+
+    # candidate pairs: principal in the trusted account x role trusting it;
+    # self-assume excluded.  Join keys are account ids — the classic hot-key
+    # axis (one big tenant): AQE skew handling applies; for a pathological
+    # tenant, salt root_trusts on trusted_acct.
+    cand = principals.join(
+        root_trusts, principals["acct"] == root_trusts["trusted_acct"], "inner"
+    ).where(F.col("principal_arn") != F.col("role_arn"))
+
+    pstmts = _principal_statements(policies, statements)
+    cand = cand.join(pstmts, "principal_arn", "inner")
+    granted = cand.withColumn(
+        "ok", _eval_policy("stmts_json", "role_arn", F.lit("sts:AssumeRole"))
+    ).where(F.col("ok"))
+
+    out = granted.select(
+        F.col("principal_arn").alias("src_id"),
+        F.lit("AWSPrincipal").alias("src_label"),
+        F.lit("STS_ASSUMEROLE_ALLOW").alias("rel_label"),
+        F.col("role_arn").alias("dst_id"),
+        F.lit("AWSRole").alias("dst_label"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(int(update_tag)).alias("lastupdated"),
+    ).dropDuplicates(["src_id", "rel_label", "dst_id"])
+    store.upsert(None, out, stage, update_tag)
