@@ -1,38 +1,911 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: interleaved docs -> extract -> link ->
+                     canonicalize -> MENTIONS triples at sf0.001.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     training-data ops); each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   — DuckDB-runnable ANSI SQL recomputing the same rows from
+                     the same parquet tables (views: region nation customer
+                     supplier part orders lineitem events documents
+                     embeddings).
+
+The KG fixture tables are *pure derivations* of the base tables
+(cartography_spark/sources/fixtures.py documents the formulas), which is
+what makes full-pipeline SQL oracles possible.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+T1, T2 = 111111111, 222222222
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror cartography_spark/sources/fixtures.py)
+# ---------------------------------------------------------------------------
+
+ACCT = "lpad(CAST({k} AS VARCHAR), 12, '0')"
+
+SQL_USERS_T1 = f"""
+  SELECT 'arn:aws:iam::' || {ACCT.format(k='c_nationkey')} || ':user/user-' || CAST(c_custkey AS VARCHAR) AS arn,
+         'user-' || CAST(c_custkey AS VARCHAR) AS name,
+         'user-' || CAST(c_custkey AS VARCHAR) || '@corp-' || CAST(c_nationkey AS VARCHAR) || '.example.com' AS email,
+         '/' AS path,
+         {ACCT.format(k='c_nationkey')} AS account_id,
+         c_custkey, c_nationkey
+  FROM customer
+"""
+
+SQL_ROLES = f"""
+  SELECT 'arn:aws:iam::' || {ACCT.format(k='s_nationkey')} || ':role/role-' || CAST(s_suppkey AS VARCHAR) AS arn,
+         'role-' || CAST(s_suppkey AS VARCHAR) AS name,
+         {ACCT.format(k='s_nationkey')} AS account_id,
+         s_suppkey, s_nationkey
+  FROM supplier
+"""
+
+SQL_CLUSTERS = f"""
+  SELECT 'arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='s_nationkey')} || ':cluster/j-' || CAST(s_suppkey AS VARCHAR) AS arn,
+         {ACCT.format(k='s_nationkey')} AS account_id,
+         s_suppkey, s_nationkey
+  FROM supplier
+"""
+
+SQL_BUCKETS = f"""
+  SELECT DISTINCT 'arn:aws:s3:::bucket-' || CAST(p_partkey % 20 AS VARCHAR) AS arn,
+         'bucket-' || CAST(p_partkey % 20 AS VARCHAR) AS name,
+         {ACCT.format(k='(p_partkey % 20) % 5')} AS account_id
+  FROM part
+"""
+
+# tokens CTE used by text/dedup oracles
+SQL_TOKS = """
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS toks, text
+  FROM documents
+"""
+
+SQL_SHINGLES = """
+  shing AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT d.doc_id,
+             array_to_string(d.toks[g.i:g.i+2], ' ') AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS toks FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(d.toks)-2, 1))) AS i) g
+    ) WHERE length(shingle) > 0
+  ),
+  hot AS (SELECT shingle FROM shing GROUP BY shingle HAVING count(*) > 50),
+  sh AS (SELECT * FROM shing WHERE shingle NOT IN (SELECT shingle FROM hot)),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+def _fx(spark, sf_dir):
+    from cartography_spark.sources import fixtures as fx
+
+    return fx, sf_dir
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full document->triples path at sf0.001."""
+    from cartography_spark.kg.materialize import mention_triples
+
+    return mention_triples(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_accounts(spark, sf_dir):
+    from cartography_spark.sources import fixtures as fx
+
+    return fx.aws_accounts(spark, sf_dir).select("id", "name")
+
+
+def _q_kg_resource_edges(spark, sf_dir):
+    """RESOURCE tenancy edges for users/roles/clusters/buckets via the
+    schema->edge compiler (J2)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_base import ACCOUNT_SCHEMA
+    from cartography_spark.modules.aws_emr import EMR_CLUSTER_SCHEMA
+    from cartography_spark.modules.aws_iam import ROLE_SCHEMA, USER_SCHEMA
+    from cartography_spark.core.model import NodeSchema, PropertyRef
+    from cartography_spark.modules.aws_base import account_resource_rel
+    from cartography_spark.sources import fixtures as fx
+
+    accounts = compile_nodes(fx.aws_accounts(spark, sf_dir), ACCOUNT_SCHEMA, T1)
+    s3_schema = NodeSchema(
+        label="S3Bucket", id=PropertyRef("arn"),
+        properties={"name": PropertyRef("name")},
+        sub_resource_rel=account_resource_rel(),
+    )
+    pieces = [
+        compile_edges(fx.iam_users(spark, sf_dir), USER_SCHEMA, accounts, T1),
+        compile_edges(fx.iam_roles(spark, sf_dir).drop("trust_principals"), ROLE_SCHEMA, accounts, T1),
+        compile_edges(fx.emr_clusters(spark, sf_dir), EMR_CLUSTER_SCHEMA, accounts, T1),
+        compile_edges(fx.s3_buckets(spark, sf_dir), s3_schema, accounts, T1),
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select("src_id", "rel_label", "dst_id", "dst_label")
+
+
+def _q_kg_member_edges(spark, sf_dir):
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_iam import GROUP_SCHEMA, MEMBERSHIP_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    groups = compile_nodes(fx.iam_groups(spark, sf_dir), GROUP_SCHEMA, T1)
+    edges = compile_edges(
+        fx.iam_group_memberships(spark, sf_dir), MEMBERSHIP_SCHEMA, groups, T1
+    )
+    return edges.select("src_id", "dst_id")
+
+
+def _q_kg_trust_edges(spark, sf_dir):
+    from cartography_spark.sources import fixtures as fx
+
+    roles = fx.iam_roles(spark, sf_dir)
+    return roles.select(
+        F.col("arn").alias("role_arn"), F.explode("trust_principals").alias("p")
+    ).select("role_arn", F.col("p.type").alias("ptype"), F.col("p.value").alias("principal"))
+
+
+def _q_kg_tagged_edges(spark, sf_dir):
+    from cartography_spark.sources import fixtures as fx
+
+    tags = fx.resource_tags(spark, sf_dir)
+    ex = tags.select("ResourceARN", F.explode("Tags").alias("t"))
+    return ex.select(
+        F.col("ResourceARN").alias("resource_arn"),
+        F.concat(F.col("t.Key"), F.lit(":"), F.col("t.Value")).alias("tag_id"),
+    )
+
+
+def _q_kg_saml_allowed_by(spark, sf_dir):
+    from cartography_spark.core.loader import compile_nodes
+    from cartography_spark.modules.aws_iam import ROLE_SCHEMA
+    from cartography_spark.modules.okta import SAML_RE
+    from cartography_spark.sources import fixtures as fx
+
+    groups = fx.okta_groups(spark, sf_dir)
+    mapped = groups.select(
+        F.col("id").alias("group_id"),
+        F.concat(
+            F.lit("arn:aws:iam::"), F.regexp_extract("name", SAML_RE, 2),
+            F.lit(":role/"), F.regexp_extract("name", SAML_RE, 1),
+        ).alias("role_arn"),
+    ).where(F.regexp_extract("name", SAML_RE, 2) != "")
+    roles = fx.iam_roles(spark, sf_dir).select(F.col("arn").alias("role_arn"))
+    return mapped.join(F.broadcast(roles), "role_arn", "inner").select("role_arn", "group_id")
+
+
+def _q_kg_can_assume_role(spark, sf_dir):
+    from cartography_spark.sources import fixtures as fx
+
+    members = fx.okta_group_members(spark, sf_dir)
+    allowed = _q_kg_saml_allowed_by(spark, sf_dir)
+    return members.join(allowed, "group_id", "inner").select(
+        F.col("user_id").alias("okta_user_id"), "role_arn"
+    )
+
+
+def _q_kg_permission_can_read(spark, sf_dir):
+    from cartography_spark.modules.permissions import evaluate_permissions
+    from cartography_spark.sources import fixtures as fx
+
+    return evaluate_permissions(
+        fx.iam_policies(spark, sf_dir),
+        fx.iam_policy_statements(spark, sf_dir),
+        fx.s3_buckets(spark, sf_dir),
+        "s3:GetObject",
+    ).select("principal_arn", "resource_arn")
+
+
+def _q_kg_sts_assumerole(spark, sf_dir):
+    from cartography_spark.modules.permissions import sts_assumerole_pairs
+    from cartography_spark.sources import fixtures as fx
+
+    roles = fx.iam_roles(spark, sf_dir)
+    trusts = roles.select(
+        F.col("arn").alias("role_arn"), F.explode("trust_principals").alias("p")
+    ).select("role_arn", F.col("p.value").alias("trusted"))
+    principals = roles.select(
+        F.col("arn").alias("principal_arn"), F.col("account_id").alias("acct")
+    )
+    return sts_assumerole_pairs(
+        trusts, principals, fx.iam_policies(spark, sf_dir), fx.iam_policy_statements(spark, sf_dir)
+    ).select("principal_arn", "role_arn")
+
+
+def _q_kg_two_tag_users(spark, sf_dir):
+    """Stateful MERGE + cleanup semantics: T1 load, T2 load (with removals +
+    mutations), scoped cleanup; final node state (J1 + U3 + P4)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.core.store import GraphStore
+    from cartography_spark.kg.pipeline import run_cleanup
+    from cartography_spark.modules.aws_base import sync_accounts
+    from cartography_spark.modules.aws_iam import USER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    root = tempfile.mkdtemp(prefix="twotag_")
+    try:
+        store = GraphStore(spark, root, write_partitions=4)
+        for tag, variant in ((T1, "t1"), (T2, "t2")):
+            sync_accounts(store, fx.aws_accounts(spark, sf_dir), tag)
+            users = fx.iam_users(spark, sf_dir, variant)
+            store.upsert(
+                compile_nodes(users, USER_SCHEMA, tag),
+                compile_edges(users, USER_SCHEMA, store.nodes(), tag),
+                "users",
+                tag,
+            )
+        run_cleanup(spark, store, T2)
+        out = (
+            store.nodes()
+            .where(F.col("label") == "AWSUser")
+            .select(
+                "id",
+                "firstseen",
+                "lastupdated",
+                F.element_at("props", "path").alias("path"),
+            )
+        )
+        # materialize before the temp dir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_kg_orphan_principals(spark, sf_dir):
+    """Principals with no account derivable from their ARN (anti-join
+    orphan-cleanup target, J12)."""
+    from cartography_spark.modules.aws_iam import arn_account
+    from cartography_spark.sources import fixtures as fx
+
+    t = _q_kg_trust_edges(spark, sf_dir)
+    return (
+        t.where(arn_account(F.col("principal")) == "")
+        .select(F.col("principal").alias("orphan_principal"))
+        .distinct()
+    )
+
+
+def _q_kg_spans(spark, sf_dir):
+    from cartography_spark.sources.docs_synth import exploded_spans, interleaved_documents
+
+    return exploded_spans(interleaved_documents(spark, sf_dir))
+
+
+def _q_kg_mentions(spark, sf_dir):
+    from cartography_spark.kg.extract import detect_mentions
+    from cartography_spark.sources.docs_synth import exploded_spans, interleaved_documents
+
+    return detect_mentions(
+        exploded_spans(interleaved_documents(spark, sf_dir)), impl="native"
+    ).select("doc_id", "span_idx", "mention", "mention_kind")
+
+
+def _q_kg_entity_links(spark, sf_dir):
+    from cartography_spark.kg.extract import detect_mentions
+    from cartography_spark.kg.link import identifier_dictionary, link_mentions
+    from cartography_spark.kg.materialize import fixture_nodes
+    from cartography_spark.sources.docs_synth import exploded_spans, interleaved_documents
+
+    mentions = detect_mentions(
+        exploded_spans(interleaved_documents(spark, sf_dir)), impl="native"
+    )
+    dims = identifier_dictionary(fixture_nodes(spark, sf_dir, T1))
+    return link_mentions(mentions, dims).select(
+        "doc_id", "span_idx", "mention", "entity_id", "entity_label", "score"
+    )
+
+
+def _q_kg_canonical_map(spark, sf_dir):
+    from cartography_spark.kg.canonicalize import canonical_mapping
+    from cartography_spark.kg.materialize import fixture_nodes
+
+    return canonical_mapping(fixture_nodes(spark, sf_dir, T1)).select(
+        "node_id", "canonical_id"
+    )
+
+
+def _q_kg_mention_triples(spark, sf_dir):
+    from cartography_spark.kg.materialize import mention_triples
+
+    return mention_triples(spark, sf_dir).select(
+        "doc_id", "entity_id", "entity_label", "n_mentions", "first_span_idx"
+    )
+
+
+def _q_kg_exposure(spark, sf_dir):
+    from cartography_spark.analysis.exposure import exposed_instances
+
+    return exposed_instances(spark, sf_dir)
+
+
+def _q_kg_drift_users(spark, sf_dir):
+    from cartography_spark.analysis.drift import detect_drift
+    from cartography_spark.sources import fixtures as fx
+
+    t1 = fx.iam_users(spark, sf_dir, "t1").select("arn", "path")
+    t2 = fx.iam_users(spark, sf_dir, "t2").select("arn", "path")
+    return detect_drift(t1, t2)
+
+
+def _q_text_token_stats(spark, sf_dir):
+    from cartography_spark.ops.textstats import token_stats
+    from cartography_spark.sources.fixtures import read_table
+
+    return token_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from cartography_spark.ops.textstats import quality_score
+    from cartography_spark.sources.fixtures import read_table
+
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def _q_text_langid(spark, sf_dir):
+    from cartography_spark.ops.textstats import language_id
+    from cartography_spark.sources.fixtures import read_table
+
+    return language_id(read_table(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from cartography_spark.ops.textstats import fingerprint
+    from cartography_spark.sources.fixtures import read_table
+
+    return fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from cartography_spark.ops.dedup import exact_duplicates
+    from cartography_spark.sources.fixtures import read_table
+
+    return exact_duplicates(read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_prefix(spark, sf_dir):
+    from cartography_spark.ops.dedup import prefix_duplicates
+    from cartography_spark.sources.fixtures import read_table
+
+    return prefix_duplicates(read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from cartography_spark.ops.dedup import ngram_jaccard_pairs
+    from cartography_spark.sources.fixtures import read_table
+
+    return ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from cartography_spark.ops.dedup import minhash_lsh_pairs
+    from cartography_spark.sources.fixtures import read_table
+
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from cartography_spark.ops.dedup import simhash
+    from cartography_spark.sources.fixtures import read_table
+
+    return simhash(read_table(spark, sf_dir, "documents"))
+
+
+def _query_vec(spark, sf_dir):
+    from cartography_spark.sources.fixtures import read_table
+
+    row = (
+        read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row.embedding]
+
+
+def _q_sim_topk_cosine(spark, sf_dir):
+    from cartography_spark.ops.similarity import cosine_topk
+    from cartography_spark.sources.fixtures import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def _q_sim_ann_lsh(spark, sf_dir):
+    from cartography_spark.ops.similarity import ann_topk
+    from cartography_spark.sources.fixtures import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def _q_multimodal_media_meta(spark, sf_dir):
+    from cartography_spark.ops.multimodal import media_metadata
+    from cartography_spark.sources.docs_synth import exploded_spans, interleaved_documents
+
+    return media_metadata(exploded_spans(interleaved_documents(spark, sf_dir)))
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (window lag + cumsum)."""
+    from cartography_spark.sources.fixtures import read_table
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn(
+        "new_sess",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+                F.lit(10**9),
+            )
+            > 1800
+        ).cast("long"),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+def _q_events_windowed_counts(spark, sf_dir):
+    """Tumbling 1h windows per event_type — the batch equivalent of the
+    streaming windowed agg (streaming parity tested in pytest)."""
+    from cartography_spark.sources.fixtures import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("total_value"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_accounts": _q_kg_accounts,
+        "kg_resource_edges": _q_kg_resource_edges,
+        "kg_member_edges": _q_kg_member_edges,
+        "kg_trust_edges": _q_kg_trust_edges,
+        "kg_tagged_edges": _q_kg_tagged_edges,
+        "kg_saml_allowed_by": _q_kg_saml_allowed_by,
+        "kg_can_assume_role": _q_kg_can_assume_role,
+        "kg_permission_can_read": _q_kg_permission_can_read,
+        "kg_sts_assumerole": _q_kg_sts_assumerole,
+        "kg_two_tag_users": _q_kg_two_tag_users,
+        "kg_orphan_principals": _q_kg_orphan_principals,
+        "kg_spans": _q_kg_spans,
+        "kg_mentions": _q_kg_mentions,
+        "kg_entity_links": _q_kg_entity_links,
+        "kg_canonical_map": _q_kg_canonical_map,
+        "kg_mention_triples": _q_kg_mention_triples,
+        "kg_exposure": _q_kg_exposure,
+        "kg_drift_users": _q_kg_drift_users,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix": _q_dedup_prefix,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_ann_lsh": _q_sim_ann_lsh,
+        "multimodal_media_meta": _q_multimodal_media_meta,
+        "events_sessions": _q_events_sessions,
+        "events_windowed_counts": _q_events_windowed_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n      ".join(
+        f"min(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = " || ',' || ".join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    banded = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+  hashes AS (
+    SELECT sh.doc_id, g.i,
+           ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle), 1, 8))::BIGINT AS h
+    FROM sh, LATERAL (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) g
+  ),
+  sig AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+  banded AS ({banded}),
+  cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+  )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_cust = "(SELECT count(*) FROM customer)"
+    n_supp = "(SELECT count(*) FROM supplier)"
+    user_arn_c = (
+        f"'arn:aws:iam::' || {ACCT.format(k='c.c_nationkey')} || ':user/user-' || CAST(c.c_custkey AS VARCHAR)"
+    )
+    email_c = (
+        "'user-' || CAST(c.c_custkey AS VARCHAR) || '@corp-' || CAST(c.c_nationkey AS VARCHAR) || '.example.com'"
+    )
+    emr_arn_s = (
+        f"'arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='s.s_nationkey')} || ':cluster/j-' || CAST(s.s_suppkey AS VARCHAR)"
+    )
+    role_arn_s = (
+        f"'arn:aws:iam::' || {ACCT.format(k='s.s_nationkey')} || ':role/role-' || CAST(s.s_suppkey AS VARCHAR)"
+    )
+
+    return {
+        "kg_accounts": f"SELECT {ACCT.format(k='n_nationkey')} AS id, n_name AS name FROM nation",
+        "kg_resource_edges": f"""
+            WITH u AS ({SQL_USERS_T1}), r AS ({SQL_ROLES}), c AS ({SQL_CLUSTERS}), b AS ({SQL_BUCKETS})
+            SELECT account_id AS src_id, 'RESOURCE' AS rel_label, arn AS dst_id, 'AWSUser' AS dst_label FROM u
+            UNION ALL SELECT account_id, 'RESOURCE', arn, 'AWSRole' FROM r
+            UNION ALL SELECT account_id, 'RESOURCE', arn, 'EMRCluster' FROM c
+            UNION ALL SELECT account_id, 'RESOURCE', arn, 'S3Bucket' FROM b
+        """,
+        "kg_member_edges": f"""
+            SELECT {user_arn_c} AS src_id,
+                   'arn:aws:iam::' || {ACCT.format(k='c.c_nationkey')} || ':group/group-' ||
+                   CAST(c.c_nationkey AS VARCHAR) || '-' || CAST(c.c_custkey % 5 AS VARCHAR) AS dst_id
+            FROM customer c
+        """,
+        "kg_trust_edges": f"""
+            SELECT {role_arn_s} AS role_arn, 'AWS' AS ptype,
+                   'arn:aws:iam::' || {ACCT.format(k='(s.s_suppkey*7) % 25')} || ':root' AS principal
+            FROM supplier s
+            UNION ALL
+            SELECT {role_arn_s}, 'Service', 'ec2.amazonaws.com'
+            FROM supplier s WHERE s.s_suppkey % 3 = 0
+        """,
+        "kg_tagged_edges": f"""
+            SELECT {emr_arn_s} AS resource_arn,
+                   'env:' || (CASE s.s_suppkey % 3 WHEN 0 THEN 'prod' WHEN 1 THEN 'stage' ELSE 'dev' END) AS tag_id
+            FROM supplier s WHERE s.s_suppkey % 2 = 0
+            UNION ALL
+            SELECT {emr_arn_s}, 'team:team-' || CAST(s.s_suppkey % 7 AS VARCHAR)
+            FROM supplier s WHERE s.s_suppkey % 2 = 0
+        """,
+        "kg_saml_allowed_by": f"""
+            SELECT {role_arn_s} AS role_arn, 'og-s-' || CAST(s.s_suppkey AS VARCHAR) AS group_id
+            FROM supplier s WHERE s.s_suppkey % 4 = 1
+        """,
+        "kg_can_assume_role": f"""
+            WITH ms AS (
+              SELECT s_nationkey, min(s_suppkey) AS min_supp FROM supplier
+              WHERE s_suppkey % 4 = 1 GROUP BY s_nationkey
+            )
+            SELECT 'okta-' || CAST(c.c_custkey AS VARCHAR) AS okta_user_id,
+                   'arn:aws:iam::' || {ACCT.format(k='ms.s_nationkey')} || ':role/role-' || CAST(ms.min_supp AS VARCHAR) AS role_arn
+            FROM customer c JOIN ms ON c.c_nationkey = ms.s_nationkey
+            WHERE c.c_custkey % 2 = 0
+        """,
+        "kg_permission_can_read": f"""
+            WITH b AS ({SQL_BUCKETS})
+            SELECT {role_arn_s} AS principal_arn, b.arn AS resource_arn
+            FROM supplier s CROSS JOIN b
+            WHERE s.s_suppkey % 2 = 0
+              AND (s.s_suppkey % 5 = 0
+                   OR b.arn LIKE replace('arn:aws:s3:::bucket-' || CAST(s.s_suppkey % 20 AS VARCHAR) || '*', '*', '%'))
+              AND NOT (s.s_suppkey % 7 = 0 AND b.arn LIKE 'arn:aws:s3:::bucket-3%')
+        """,
+        "kg_sts_assumerole": f"""
+            SELECT 'arn:aws:iam::' || {ACCT.format(k='p.s_nationkey')} || ':role/role-' || CAST(p.s_suppkey AS VARCHAR) AS principal_arn,
+                   {role_arn_s} AS role_arn
+            FROM supplier p JOIN supplier s
+              ON p.s_nationkey = (s.s_suppkey * 7) % 25
+            WHERE p.s_suppkey % 10 = 5
+              AND p.s_suppkey <> s.s_suppkey
+        """,
+        "kg_two_tag_users": f"""
+            SELECT {user_arn_c} AS id,
+                   {T1} AS firstseen, {T2} AS lastupdated,
+                   CASE WHEN c.c_custkey % 10 = 3 THEN '/renamed/' ELSE '/' END AS path
+            FROM customer c WHERE c.c_custkey % 10 <> 7
+        """,
+        "kg_orphan_principals": """
+            SELECT DISTINCT 'ec2.amazonaws.com' AS orphan_principal
+            FROM supplier WHERE s_suppkey % 3 = 0
+        """,
+        "kg_spans": f"""
+            WITH d AS (SELECT *,
+                       doc_id % {n_cust} AS ck, doc_id % {n_supp} AS sk
+                       FROM documents),
+            j AS (SELECT d.*, c.c_nationkey AS cn, s.s_nationkey AS sn
+                  FROM d JOIN customer c ON d.ck = c.c_custkey
+                         JOIN supplier s ON d.sk = s.s_suppkey)
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_idx, 'text' AS kind,
+                   'doc intro ' || substr(text, 1, 64) AS text, NULL AS media_ref, 0 AS offset FROM j
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR), 1, 'text',
+                   'touched by arn:aws:iam::' || {ACCT.format(k='cn')} || ':user/user-' || CAST(ck AS VARCHAR) ||
+                   ' contact user-' || CAST(ck AS VARCHAR) || '@corp-' || CAST(cn AS VARCHAR) || '.example.com',
+                   NULL, 1 FROM j
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR), 2, 'image', NULL,
+                   's3://media/doc-' || CAST(doc_id AS VARCHAR) || '/frame-0.png', 2
+            FROM j WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END, 'text',
+                   'ran on arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='sn')} || ':cluster/j-' || CAST(sk AS VARCHAR),
+                   NULL, 3 FROM j
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END, 'audio', NULL,
+                   's3://media/doc-' || CAST(doc_id AS VARCHAR) || '/audio.wav', 4
+            FROM j WHERE doc_id % 5 = 0
+        """,
+        "kg_mentions": f"""
+            WITH d AS (SELECT doc_id, doc_id % {n_cust} AS ck, doc_id % {n_supp} AS sk FROM documents),
+            j AS (SELECT d.*, c.c_nationkey AS cn, s.s_nationkey AS sn
+                  FROM d JOIN customer c ON d.ck = c.c_custkey
+                         JOIN supplier s ON d.sk = s.s_suppkey)
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 1 AS span_idx,
+                   'arn:aws:iam::' || {ACCT.format(k='cn')} || ':user/user-' || CAST(ck AS VARCHAR) AS mention,
+                   'arn' AS mention_kind FROM j
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR), 1,
+                   'user-' || CAST(ck AS VARCHAR) || '@corp-' || CAST(cn AS VARCHAR) || '.example.com', 'email' FROM j
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END,
+                   'arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='sn')} || ':cluster/j-' || CAST(sk AS VARCHAR), 'arn' FROM j
+        """,
+        "kg_entity_links": f"""
+            WITH d AS (SELECT doc_id, doc_id % {n_cust} AS ck, doc_id % {n_supp} AS sk FROM documents),
+            j AS (SELECT d.*, c.c_nationkey AS cn, s.s_nationkey AS sn
+                  FROM d JOIN customer c ON d.ck = c.c_custkey
+                         JOIN supplier s ON d.sk = s.s_suppkey),
+            arn_m AS (
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 1 AS span_idx,
+                     'arn:aws:iam::' || {ACCT.format(k='cn')} || ':user/user-' || CAST(ck AS VARCHAR) AS mention,
+                     'arn:aws:iam::' || {ACCT.format(k='cn')} || ':user/user-' || CAST(ck AS VARCHAR) AS entity_id,
+                     'AWSUser' AS entity_label, 1.0 AS score FROM j
+              UNION ALL
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                     CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END,
+                     'arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='sn')} || ':cluster/j-' || CAST(sk AS VARCHAR),
+                     'arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='sn')} || ':cluster/j-' || CAST(sk AS VARCHAR),
+                     'EMRCluster', 1.0 FROM j
+            ),
+            email_m AS (
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 1 AS span_idx,
+                     'user-' || CAST(ck AS VARCHAR) || '@corp-' || CAST(cn AS VARCHAR) || '.example.com' AS mention,
+                     'arn:aws:iam::' || {ACCT.format(k='cn')} || ':user/user-' || CAST(ck AS VARCHAR) AS entity_id,
+                     'AWSUser' AS entity_label, 1.0 AS score FROM j
+              UNION ALL
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR), 1,
+                     'user-' || CAST(ck AS VARCHAR) || '@corp-' || CAST(cn AS VARCHAR) || '.example.com',
+                     'okta-' || CAST(ck AS VARCHAR), 'OktaUser', 1.0
+              FROM j WHERE ck % 2 = 0
+            )
+            SELECT doc_id, span_idx, mention, entity_id, entity_label, score FROM arn_m
+            UNION ALL
+            SELECT doc_id, span_idx, mention, entity_id, entity_label, score FROM email_m
+        """,
+        "kg_canonical_map": f"""
+            SELECT {user_arn_c} AS node_id, {user_arn_c} AS canonical_id FROM customer c
+            UNION ALL
+            SELECT 'okta-' || CAST(c.c_custkey AS VARCHAR), {user_arn_c}
+            FROM customer c WHERE c.c_custkey % 2 = 0
+        """,
+        "kg_mention_triples": f"""
+            WITH d AS (SELECT doc_id, doc_id % {n_cust} AS ck, doc_id % {n_supp} AS sk FROM documents),
+            j AS (SELECT d.*, c.c_nationkey AS cn, s.s_nationkey AS sn
+                  FROM d JOIN customer c ON d.ck = c.c_custkey
+                         JOIN supplier s ON d.sk = s.s_suppkey)
+            -- n_mentions: arn link + email->AWSUser link, plus the email's
+            -- OktaUser link when one exists (even custkey) — the OktaUser
+            -- merges into the canonical AWSUser, so its link row counts too.
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   'arn:aws:iam::' || {ACCT.format(k='cn')} || ':user/user-' || CAST(ck AS VARCHAR) AS entity_id,
+                   'AWSUser' AS entity_label,
+                   CASE WHEN ck % 2 = 0 THEN 3 ELSE 2 END AS n_mentions,
+                   1 AS first_span_idx FROM j
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                   'arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='sn')} || ':cluster/j-' || CAST(sk AS VARCHAR),
+                   'EMRCluster', 1, CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END FROM j
+        """,
+        "kg_exposure": """
+            WITH rules AS (
+              SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id,
+                     CAST((p_size % 10) * 100 AS BIGINT) AS fromport,
+                     CAST((p_size % 10) * 100 + 399 AS BIGINT) AS toport
+              FROM part WHERE p_partkey % 10 = 0 AND p_partkey % 4 = 0
+            ),
+            inst AS (
+              SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                     'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS listener_port
+              FROM supplier
+            )
+            SELECT DISTINCT i.instance_id, i.sg_id, i.listener_port
+            FROM inst i JOIN rules r ON i.sg_id = r.sg_id
+            WHERE i.listener_port >= r.fromport AND i.listener_port <= r.toport
+        """,
+        "kg_drift_users": f"""
+            WITH t1 AS (SELECT {user_arn_c} AS arn, '/' AS path FROM customer c),
+            t2 AS (
+              SELECT {user_arn_c} AS arn,
+                     CASE WHEN c.c_custkey % 10 = 3 THEN '/renamed/' ELSE '/' END AS path
+              FROM customer c WHERE c.c_custkey % 10 <> 7
+            )
+            SELECT arn, path, 'new' AS direction FROM (SELECT * FROM t2 EXCEPT ALL SELECT * FROM t1)
+            UNION ALL
+            SELECT arn, path, 'missing' FROM (SELECT * FROM t1 EXCEPT ALL SELECT * FROM t2)
+        """,
+        "text_token_stats": f"""
+            WITH t AS ({SQL_TOKS})
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_token_len
+            FROM t
+        """,
+        "text_quality": f"""
+            WITH t AS ({SQL_TOKS}),
+            q AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+                     round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_token_ratio
+              FROM t
+            )
+            SELECT *, (n_tokens >= 5 AND stopword_ratio >= 0.01 AND uniq_token_ratio >= 0.2) AS quality_ok FROM q
+        """,
+        "text_langid": f"""
+            WITH t AS ({SQL_TOKS})
+            SELECT doc_id,
+                   round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS DOUBLE) / len(toks), 4) AS en_score,
+                   CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS DOUBLE) / len(toks) > 0.05
+                        THEN 'en' ELSE 'unk' END AS pred_lang
+            FROM t
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS content_fp,
+                   md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(regexp_replace(text, ' +', ' ', 'g')), ' '))), ' ')) AS shingle_fp,
+                   md5(substr(text, 1, 64)) AS prefix_fp
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, ' +', ' ', 'g')))) AS canonical_doc_id
+            FROM documents
+        """,
+        "dedup_prefix": """
+            WITH g AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(substr(text,1,64))) AS canonical_doc_id,
+                     count(*) OVER (PARTITION BY md5(substr(text,1,64))) AS group_size
+              FROM documents
+            )
+            SELECT doc_id, canonical_doc_id, CAST(group_size AS BIGINT) AS group_size
+            FROM g WHERE group_size > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {SQL_SHINGLES},
+            shared AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared), 4) AS jaccard
+            FROM shared
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= 0.5
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {SQL_SHINGLES},
+            {_minhash_sig_sql()},
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS shared
+              FROM cands c JOIN sh a ON a.doc_id = c.doc_a
+                           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT s.doc_a, s.doc_b,
+                   round(CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared), 4) AS jaccard
+            FROM shared s
+            JOIN sizes na ON na.doc_id = s.doc_a
+            JOIN sizes nb ON nb.doc_id = s.doc_b
+            WHERE CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared) >= 0.5
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), ' +'))) AS tok
+                FROM documents
+              ) WHERE length(tok) > 0
+            ),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+            bits AS (
+              SELECT doc_id, g.b,
+                     CASE WHEN sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS maj
+              FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) g
+              GROUP BY doc_id, g.b
+            )
+            SELECT doc_id, CAST(sum(maj * (1::BIGINT << b)) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "sim_topk_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       6) AS cosine
+              FROM embeddings e, q
+            )
+            SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "multimodal_media_meta": f"""
+            WITH d AS (SELECT doc_id FROM documents)
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 2 AS span_idx, 'image' AS kind,
+                   's3://media/doc-' || CAST(doc_id AS VARCHAR) || '/frame-0.png' AS media_ref,
+                   's3' AS scheme, 'png' AS ext
+            FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END, 'audio',
+                   's3://media/doc-' || CAST(doc_id AS VARCHAR) || '/audio.wav', 's3', 'wav'
+            FROM d WHERE doc_id % 5 = 0
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1
+                          WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                          ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "events_windowed_counts": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(value) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        # sim_ann_lsh: intentionally no oracle — approximate result (rows-only
+        # check); recall vs brute force is asserted in tests/test_ops.py.
+    }

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline operators at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from cartography_spark.session import get_spark
+
+    spark = get_spark(app_name="cartography_spark_bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entrymod
+    from cartography_spark.core.store import GraphStore
+    from cartography_spark.kg.bulk import build_graph
+    from cartography_spark.kg.materialize import mention_triples
+
+    qs = entrymod.queries()
+
+    def run_count(df):
+        return df.count()
+
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # warm the JVM + parquet footers for every input table (outside timed
+    # region — we measure operators, not first-touch schema inference)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. flagship documents path: synth -> extract -> link -> canonicalize ->
+    #    MENTIONS triples (the docs/sec metric)
+    timed("docs_pipeline", lambda: run_count(mention_triples(spark, sf_dir)))
+
+    # 2. full-graph bulk build + single snapshot commit (write path)
+    def graph_commit():
+        root = tempfile.mkdtemp(prefix="bench_gs_")
+        try:
+            store = GraphStore(spark, root)
+            nodes, edges = build_graph(spark, sf_dir, 111111111)
+            store.upsert(nodes, edges, "bulk", 111111111)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    timed("graph_bulk_sync", graph_commit)
+
+    # 3. operator headliners (count-materialized)
+    for name in [
+        "kg_permission_can_read",
+        "kg_exposure",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "text_quality",
+        "sim_topk_cosine",
+        "sim_ann_lsh",
+        "events_sessions",
+    ]:
+        timed(name, lambda n=name: run_count(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["docs_pipeline"], 1) if timings.get("docs_pipeline") else None
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "docs_per_sec": docs_per_sec,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Internet-exposure analysis — the multi-hop + range-predicate pass.
+
+Parity: reference data/jobs/analysis/aws_ec2_asset_exposure.json — the
+Cypher walks (:IpRange{0.0.0.0/0})-->(:IpPermissionInbound)-->(sg)<-[*..2]-
+(instance) and gates on the **port interval** ``listener.port >= perm.fromport
+AND listener.port <= perm.toport``, then appends to the
+``exposed_internet_type`` list property.  Here:
+
+  * the bounded-depth walk unrolls into chained equi-joins;
+  * the interval gate is a non-equi range-join condition — at scale this is
+    the classic range-join problem: we pre-bucket ports into fixed-width
+    bins and equi-join on the bin before applying the exact bounds, turning
+    O(n*m) into bin-local comparisons (AQE handles residual skew).
+
+Fixture derivation (deterministic, oracle-reproducible):
+  * security groups from part (p_partkey%10==0): port range
+    [ (p_size%40)*100, (p_size%40)*100+99 ], open to world iff p_partkey%4==0
+  * instances from supplier: member of sg-((s_suppkey*10) % n_sgs_base),
+    listener port (s_suppkey%40)*100 + 50
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.sources.fixtures import read_table
+
+PORT_BIN = 100
+
+
+def security_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 10) == 0)
+    return p.select(
+        F.concat(F.lit("sg-"), F.col("p_partkey").cast("string")).alias("sg_id"),
+        ((F.col("p_size") % 10) * 100).cast("long").alias("fromport"),
+        ((F.col("p_size") % 10) * 100 + 399).cast("long").alias("toport"),
+        F.when((F.col("p_partkey") % 4) == 0, F.lit("0.0.0.0/0"))
+        .otherwise(F.lit("10.0.0.0/8"))
+        .alias("cidr"),
+    )
+
+
+def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
+    s = s.crossJoin(F.broadcast(n_parts))
+    # sg keys are multiples of 10 in [0, n_part); map suppliers onto them
+    return s.select(
+        F.concat(F.lit("i-"), F.col("s_suppkey").cast("string")).alias("instance_id"),
+        F.concat(
+            F.lit("sg-"), (((F.col("s_suppkey") * 10) % F.col("n_part")) - (((F.col("s_suppkey") * 10) % F.col("n_part")) % 10)).cast("string")
+        ).alias("sg_id"),
+        ((F.col("s_suppkey") % 10) * 100 + 50).cast("long").alias("listener_port"),
+    )
+
+
+def exposed_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instances whose security group opens their listener port to the world.
+
+    The range join is bin-bucketed: a rule spanning [from, to] explodes to
+    its covered bins; instances join on their port's bin, then the exact
+    interval check applies.  Output: instance_id, sg_id, listener_port.
+    """
+    rules = security_group_rules(spark, sf_dir).where(F.col("cidr") == "0.0.0.0/0")
+    inst = instances(spark, sf_dir)
+
+    binned_rules = rules.select(
+        "sg_id",
+        "fromport",
+        "toport",
+        F.explode(
+            F.sequence(
+                (F.col("fromport") / PORT_BIN).cast("long"),
+                (F.col("toport") / PORT_BIN).cast("long"),
+            )
+        ).alias("port_bin"),
+    )
+    binned_inst = inst.withColumn("port_bin", (F.col("listener_port") / PORT_BIN).cast("long"))
+
+    return (
+        binned_inst.join(binned_rules, ["sg_id", "port_bin"], "inner")
+        .where(
+            (F.col("listener_port") >= F.col("fromport"))
+            & (F.col("listener_port") <= F.col("toport"))
+        )
+        .select("instance_id", "sg_id", "listener_port")
+        .distinct()
+    )
+
+
+def mark_exposure(store, spark: SparkSession, sf_dir: str, update_tag: int) -> None:
+    """Append 'direct' to exposed instances' exposed_internet_type — the
+    list-property accumulation (A4: coalesce(x,[]) + elem) on the graph."""
+    exposed = exposed_instances(spark, sf_dir).select(
+        F.col("instance_id").alias("id")
+    )
+    nodes = store.nodes()
+    marked = nodes.join(F.broadcast(exposed), ["id"], "left_semi").withColumn(
+        "props",
+        F.map_concat(
+            F.coalesce("props", F.create_map()),
+            F.create_map(F.lit("exposed_internet_type"), F.lit('["direct"]')),
+        ),
+    )
+    rest = nodes.join(F.broadcast(exposed), ["id"], "left_anti")
+    store.commit(rest.unionByName(marked), store.edges(), "analysis:exposure", update_tag)

@@ -191,6 +191,16 @@ class GraphStore:
         """
         nodes, edges = self.nodes(), self.edges()
 
+        # Each batch feeds two joins (merge + anti); cache so the upstream
+        # plan (often a full module pipeline) computes once.
+        cached = []
+        if new_nodes is not None:
+            new_nodes = new_nodes.cache()
+            cached.append(new_nodes)
+        if new_edges is not None:
+            new_edges = new_edges.cache()
+            cached.append(new_edges)
+
         if new_nodes is not None:
             old_keys = nodes.select(
                 F.col("label").alias("_l"), F.col("id").alias("_i"), F.col("firstseen").alias("_fs")
@@ -230,7 +240,11 @@ class GraphStore:
             untouched_e = edges.join(new_edges.select(*EDGE_KEY), EDGE_KEY, "left_anti")
             edges = untouched_e.unionByName(merged_new_e)
 
-        return self.commit(nodes, edges, stage, update_tag, metrics)
+        try:
+            return self.commit(nodes, edges, stage, update_tag, metrics)
+        finally:
+            for df in cached:
+                df.unpersist()
 
     def delete(
         self,

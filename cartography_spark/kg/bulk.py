@@ -1,0 +1,268 @@
+"""Bulk graph build: the whole sync's nodes+edges as two DataFrames, one
+snapshot commit.
+
+``pipeline.run_sync`` mirrors the reference's stage-by-stage commits (each
+stage checkpointed, resumable).  At 10^12-doc scale the per-stage pattern is
+what Iceberg MERGE INTO makes cheap (only changed files rewritten); on the
+sandbox's plain-parquet store each commit rewrites the tables, so the bulk
+path exists for (a) benchmarks measuring compute rather than commit count
+and (b) cold-start initial loads, where one commit is the right shape
+anyway.  Both paths produce identical triples (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.model import NodeSchema, PropertyRef
+from cartography_spark.modules.aws_base import ACCOUNT_SCHEMA, account_resource_rel
+from cartography_spark.modules.aws_emr import EMR_CLUSTER_SCHEMA
+from cartography_spark.modules.aws_iam import (
+    GROUP_SCHEMA,
+    MEMBERSHIP_SCHEMA,
+    POLICY_SCHEMA,
+    ROLE_SCHEMA,
+    STATEMENT_SCHEMA,
+    USER_SCHEMA,
+    arn_account,
+)
+from cartography_spark.modules.okta import (
+    GROUP_SCHEMA as OKTA_GROUP_SCHEMA,
+    MEMBER_SCHEMA as OKTA_MEMBER_SCHEMA,
+    ORG_SCHEMA as OKTA_ORG_SCHEMA,
+    SAML_RE,
+    USER_SCHEMA as OKTA_USER_SCHEMA,
+)
+from cartography_spark.sources import fixtures as fx
+
+S3_SCHEMA = NodeSchema(
+    label="S3Bucket",
+    id=PropertyRef("arn"),
+    properties={"name": PropertyRef("name"), "account_id": PropertyRef("account_id")},
+    sub_resource_rel=account_resource_rel(),
+)
+
+
+def _edge(src_id, src_label: str, rel: str, dst_id, dst_label: str, tag: int):
+    return [
+        src_id.alias("src_id"),
+        F.lit(src_label).alias("src_label"),
+        F.lit(rel).alias("rel_label"),
+        dst_id.alias("dst_id"),
+        F.lit(dst_label).alias("dst_label"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(int(tag)).alias("lastupdated"),
+    ]
+
+
+def build_graph(
+    spark: SparkSession, sf_dir: str, update_tag: int, with_documents: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) for the full sync, computed without a store."""
+    accounts = fx.aws_accounts(spark, sf_dir)
+    users = fx.iam_users(spark, sf_dir)
+    groups = fx.iam_groups(spark, sf_dir)
+    roles = fx.iam_roles(spark, sf_dir)
+    memberships = fx.iam_group_memberships(spark, sf_dir)
+    clusters = fx.emr_clusters(spark, sf_dir)
+    buckets = fx.s3_buckets(spark, sf_dir)
+    policies = fx.iam_policies(spark, sf_dir)
+    statements = fx.iam_policy_statements(spark, sf_dir)
+    tags = fx.resource_tags(spark, sf_dir)
+    o_orgs, o_groups = fx.okta_orgs(spark, sf_dir), fx.okta_groups(spark, sf_dir)
+    o_users, o_members = fx.okta_users(spark, sf_dir), fx.okta_group_members(spark, sf_dir)
+
+    tag = update_tag
+    node_parts = [
+        compile_nodes(accounts, ACCOUNT_SCHEMA, tag),
+        compile_nodes(users, USER_SCHEMA, tag),
+        compile_nodes(groups, GROUP_SCHEMA, tag),
+        compile_nodes(roles.drop("trust_principals"), ROLE_SCHEMA, tag),
+        compile_nodes(clusters, EMR_CLUSTER_SCHEMA, tag),
+        compile_nodes(buckets, S3_SCHEMA, tag),
+        compile_nodes(
+            policies.withColumnRenamed("policy_id", "pid"),
+            NodeSchema(
+                label="AWSPolicy",
+                id=PropertyRef("pid"),
+                properties={"name": PropertyRef("name"), "principal_arn": PropertyRef("principal_arn")},
+            ),
+            tag,
+        ),
+        compile_nodes(
+            statements,
+            NodeSchema(
+                label="AWSPolicyStatement",
+                id=PropertyRef("statement_id"),
+                properties={
+                    "effect": PropertyRef("effect"),
+                    "action": PropertyRef("action"),
+                    "resource": PropertyRef("resource"),
+                },
+            ),
+            tag,
+        ),
+        compile_nodes(o_orgs, OKTA_ORG_SCHEMA, tag),
+        compile_nodes(o_groups, OKTA_GROUP_SCHEMA, tag),
+        compile_nodes(o_users, OKTA_USER_SCHEMA, tag),
+    ]
+
+    # trust principals + synthesized foreign accounts
+    trusts = roles.select(
+        F.col("arn").alias("role_arn"), F.explode("trust_principals").alias("p")
+    ).select("role_arn", F.col("p.type").alias("ptype"), F.col("p.value").alias("principal"))
+    spn_nodes = trusts.select(
+        F.col("principal").alias("id"),
+        F.lit("AWSPrincipal").alias("label"),
+        F.map_from_arrays(F.array(F.lit("type")), F.array(F.col("ptype"))).alias("props"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(tag).alias("lastupdated"),
+    ).dropDuplicates(["id"])
+    foreign = trusts.withColumn("acct", arn_account(F.col("principal"))).where(F.col("acct") != "")
+    known = accounts.select("id")
+    acct_nodes = (
+        foreign.select(F.col("acct").alias("id"))
+        .distinct()
+        .join(known, ["id"], "left_anti")
+        .select(
+            "id",
+            F.lit("AWSAccount").alias("label"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.lit(None).cast("long").alias("firstseen"),
+            F.lit(tag).alias("lastupdated"),
+        )
+    )
+    # tag nodes
+    tag_ex = tags.select("ResourceARN", F.explode("Tags").alias("t")).select(
+        "ResourceARN",
+        F.concat(F.col("t.Key"), F.lit(":"), F.col("t.Value")).alias("tag_id"),
+        F.col("t.Key").alias("key"),
+        F.col("t.Value").alias("value"),
+    )
+    tag_nodes = tag_ex.select(
+        F.col("tag_id").alias("id"),
+        F.lit("AWSTag").alias("label"),
+        F.map_from_arrays(
+            F.array(F.lit("key"), F.lit("value")), F.array("key", "value")
+        ).alias("props"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(tag).alias("lastupdated"),
+    ).dropDuplicates(["id"])
+
+    nodes = node_parts[0]
+    for p in node_parts[1:] + [spn_nodes, acct_nodes, tag_nodes]:
+        nodes = nodes.unionByName(p)
+    # A union of N branches is narrow — it keeps the SUM of branch partitions
+    # (13 x shuffle.partitions here) and AQE cannot coalesce narrow unions.
+    # One consolidating shuffle keyed on the downstream join key fixes every
+    # consumer's task count.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nodes = nodes.repartition(nparts, "label", "id")
+
+    # ---- edges --------------------------------------------------------------
+    acct_node_df = compile_nodes(accounts, ACCOUNT_SCHEMA, tag)
+    group_node_df = compile_nodes(groups, GROUP_SCHEMA, tag)
+
+    edge_parts = [
+        compile_edges(users, USER_SCHEMA, acct_node_df, tag),
+        compile_edges(groups, GROUP_SCHEMA, acct_node_df, tag),
+        compile_edges(roles.drop("trust_principals"), ROLE_SCHEMA, acct_node_df, tag),
+        compile_edges(clusters, EMR_CLUSTER_SCHEMA, acct_node_df, tag),
+        compile_edges(buckets, S3_SCHEMA, acct_node_df, tag),
+        compile_edges(memberships, MEMBERSHIP_SCHEMA, group_node_df, tag),
+        compile_edges(
+            o_groups, OKTA_GROUP_SCHEMA, compile_nodes(o_orgs, OKTA_ORG_SCHEMA, tag), tag
+        ),
+        compile_edges(
+            o_users, OKTA_USER_SCHEMA, compile_nodes(o_orgs, OKTA_ORG_SCHEMA, tag), tag
+        ),
+        compile_edges(
+            o_members, OKTA_MEMBER_SCHEMA, compile_nodes(o_groups, OKTA_GROUP_SCHEMA, tag), tag
+        ),
+        trusts.select(
+            *_edge(F.col("role_arn"), "AWSRole", "TRUSTS_AWS_PRINCIPAL", F.col("principal"), "AWSPrincipal", tag)
+        ),
+        foreign.select(
+            *_edge(F.col("acct"), "AWSAccount", "RESOURCE", F.col("principal"), "AWSPrincipal", tag)
+        ),
+        policies.select(
+            *_edge(F.col("principal_arn"), "AWSRole", "POLICY", F.col("policy_id"), "AWSPolicy", tag)
+        ),
+        statements.select(
+            *_edge(F.col("policy_id"), "AWSPolicy", "STATEMENT", F.col("statement_id"), "AWSPolicyStatement", tag)
+        ),
+    ]
+
+    # TAGGED (resources are clusters by construction)
+    edge_parts.append(
+        tag_ex.join(
+            clusters.select(F.col("ClusterArn").alias("ResourceARN")), "ResourceARN", "inner"
+        ).select(
+            *_edge(F.col("ResourceARN"), "EMRCluster", "TAGGED", F.col("tag_id"), "AWSTag", tag)
+        )
+    )
+
+    # SAML ALLOWED_BY + CAN_ASSUME_ROLE
+    mapped = o_groups.select(
+        F.col("id").alias("group_id"),
+        F.concat(
+            F.lit("arn:aws:iam::"), F.regexp_extract("name", SAML_RE, 2),
+            F.lit(":role/"), F.regexp_extract("name", SAML_RE, 1),
+        ).alias("role_arn"),
+    ).where(F.regexp_extract("name", SAML_RE, 2) != "")
+    role_ids = roles.select(F.col("arn").alias("role_arn"))
+    allowed = mapped.join(F.broadcast(role_ids), "role_arn", "inner")
+    edge_parts.append(
+        allowed.select(
+            *_edge(F.col("role_arn"), "AWSRole", "ALLOWED_BY", F.col("group_id"), "OktaGroup", tag)
+        )
+    )
+    edge_parts.append(
+        o_members.join(F.broadcast(allowed), "group_id", "inner").select(
+            *_edge(F.col("user_id"), "OktaUser", "CAN_ASSUME_ROLE", F.col("role_arn"), "AWSRole", tag)
+        )
+    )
+
+    # permission theta-joins
+    from cartography_spark.modules.permissions import evaluate_permissions, sts_assumerole_pairs
+
+    can_read = evaluate_permissions(policies, statements, buckets, "s3:GetObject")
+    edge_parts.append(
+        can_read.select(
+            *_edge(F.col("principal_arn"), "AWSPrincipal", "CAN_READ", F.col("resource_arn"), "S3Bucket", tag)
+        )
+    )
+    sts = sts_assumerole_pairs(
+        trusts.select("role_arn", F.col("principal").alias("trusted")),
+        roles.select(F.col("arn").alias("principal_arn"), F.col("account_id").alias("acct")),
+        policies,
+        statements,
+    )
+    edge_parts.append(
+        sts.select(
+            *_edge(F.col("principal_arn"), "AWSPrincipal", "STS_ASSUMEROLE_ALLOW", F.col("role_arn"), "AWSRole", tag)
+        )
+    )
+
+    edges = edge_parts[0]
+    for p in edge_parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.repartition(nparts, "rel_label", "src_id")
+
+    if with_documents:
+        from cartography_spark.kg.materialize import document_nodes, mention_edges
+        from cartography_spark.sources.docs_synth import interleaved_documents
+
+        docs = interleaved_documents(spark, sf_dir)
+        # mention_edges walks the node frame many times (dictionary,
+        # canonicalization, label join) — cache the union once
+        nodes = nodes.unionByName(document_nodes(docs, tag)).cache()
+        edges = edges.unionByName(mention_edges(docs, nodes, tag))
+
+    return nodes, edges.dropDuplicates(["src_id", "rel_label", "dst_id"])

@@ -88,6 +88,52 @@ def mention_edges(
     )
 
 
+def fixture_nodes(spark, sf_dir: str, update_tag: int):
+    """Minimal linkable node set built straight from fixtures (store-free) —
+    used by pure queries and the flagship entry."""
+    from cartography_spark.core.loader import compile_nodes
+    from cartography_spark.modules.aws_emr import EMR_CLUSTER_SCHEMA
+    from cartography_spark.modules.aws_iam import ROLE_SCHEMA, USER_SCHEMA
+    from cartography_spark.modules.okta import USER_SCHEMA as OKTA_USER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    parts = [
+        compile_nodes(fx.iam_users(spark, sf_dir), USER_SCHEMA, update_tag),
+        compile_nodes(
+            fx.iam_roles(spark, sf_dir).drop("trust_principals"), ROLE_SCHEMA, update_tag
+        ),
+        compile_nodes(fx.emr_clusters(spark, sf_dir), EMR_CLUSTER_SCHEMA, update_tag),
+        compile_nodes(fx.okta_users(spark, sf_dir), OKTA_USER_SCHEMA, update_tag),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # consolidate the narrow union's accumulated partitions (see bulk.py)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return out.repartition(nparts, "label", "id")
+
+
+def mention_triples(spark, sf_dir: str, update_tag: int = 111111111, impl: str = "native"):
+    """Flagship store-free path: synthesize docs -> extract -> link ->
+    canonicalize -> MENTIONS triples.  Output is flat (src_id, rel_label,
+    dst_id, dst_label, n_mentions, first_span_idx)."""
+    from cartography_spark.sources.docs_synth import interleaved_documents
+
+    docs = interleaved_documents(spark, sf_dir)
+    # the node frame feeds the identifier dictionary, canonicalization, and
+    # the label join — cache it once instead of recomputing per branch
+    nodes = fixture_nodes(spark, sf_dir, update_tag).cache()
+    edges = mention_edges(docs, nodes, update_tag, impl=impl)
+    return edges.select(
+        F.col("src_id").alias("doc_id"),
+        F.col("rel_label"),
+        F.col("dst_id").alias("entity_id"),
+        F.col("dst_label").alias("entity_label"),
+        F.element_at("props", "n_mentions").cast("long").alias("n_mentions"),
+        F.element_at("props", "first_span_idx").cast("long").alias("first_span_idx"),
+    )
+
+
 def sync_documents(
     store: GraphStore, docs: DataFrame, update_tag: int, impl: str = "native"
 ) -> None:

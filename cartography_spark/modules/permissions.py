@@ -143,33 +143,21 @@ def sync_permission_edges(
     store.upsert(None, edges, stage, update_tag)
 
 
-def sync_sts_assumerole(
-    store: GraphStore, policies: DataFrame, statements: DataFrame, update_tag: int
-) -> None:
-    """(principal)-[:STS_ASSUMEROLE_ALLOW]->(role) derivation.
+def sts_assumerole_pairs(
+    trusts: DataFrame, principals: DataFrame, policies: DataFrame, statements: DataFrame
+) -> DataFrame:
+    """(principal_arn, role_arn) pairs allowed to sts:AssumeRole.
 
     Parity: iam.py:448-493 — 3-hop pattern (account)-[:RESOURCE]->(principal)
     x (role)-[:TRUSTS_AWS_PRINCIPAL]->(:root of that account), gated by the
     principal's policies granting sts:AssumeRole on the role's ARN.
-    """
-    stage = "aws:permissions:sts_assumerole"
-    if store.stage_done(stage, update_tag):
-        return
-    edges, nodes = store.edges(), store.nodes()
 
-    trusts = edges.where(F.col("rel_label") == "TRUSTS_AWS_PRINCIPAL").select(
-        F.col("src_id").alias("role_arn"), F.col("dst_id").alias("trusted")
-    )
+    ``trusts``:     (role_arn, trusted) trust edges
+    ``principals``: (principal_arn, acct)
+    """
     root_trusts = trusts.where(F.col("trusted").endswith(":root")).select(
         "role_arn", arn_account(F.col("trusted")).alias("trusted_acct")
     )
-
-    principals = nodes.where(
-        F.col("label").isin("AWSRole", "AWSUser")
-    ).select(
-        F.col("id").alias("principal_arn"),
-        F.element_at("props", "account_id").alias("acct"),
-    ).where(F.col("acct").isNotNull())
 
     # candidate pairs: principal in the trusted account x role trusting it;
     # self-assume excluded.  Join keys are account ids — the classic hot-key
@@ -181,9 +169,36 @@ def sync_sts_assumerole(
 
     pstmts = _principal_statements(policies, statements)
     cand = cand.join(pstmts, "principal_arn", "inner")
-    granted = cand.withColumn(
-        "ok", _eval_policy("stmts_json", "role_arn", F.lit("sts:AssumeRole"))
-    ).where(F.col("ok"))
+    return (
+        cand.withColumn(
+            "ok", _eval_policy("stmts_json", "role_arn", F.lit("sts:AssumeRole"))
+        )
+        .where(F.col("ok"))
+        .select("principal_arn", "role_arn")
+        .distinct()
+    )
+
+
+def sync_sts_assumerole(
+    store: GraphStore, policies: DataFrame, statements: DataFrame, update_tag: int
+) -> None:
+    """Materialize STS_ASSUMEROLE_ALLOW edges from the live graph."""
+    stage = "aws:permissions:sts_assumerole"
+    if store.stage_done(stage, update_tag):
+        return
+    edges, nodes = store.edges(), store.nodes()
+
+    trusts = edges.where(F.col("rel_label") == "TRUSTS_AWS_PRINCIPAL").select(
+        F.col("src_id").alias("role_arn"), F.col("dst_id").alias("trusted")
+    )
+    principals = nodes.where(
+        F.col("label").isin("AWSRole", "AWSUser")
+    ).select(
+        F.col("id").alias("principal_arn"),
+        F.element_at("props", "account_id").alias("acct"),
+    ).where(F.col("acct").isNotNull())
+
+    granted = sts_assumerole_pairs(trusts, principals, policies, statements)
 
     out = granted.select(
         F.col("principal_arn").alias("src_id"),

@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a standard large-scale technique:
+  * exact          — hash-groupBy on the content fingerprint (one shuffle)
+  * prefix/block   — groupBy on a cheap blocking key
+  * n-gram Jaccard — shingle blocking join + set-overlap verification
+  * MinHash + LSH  — signature bands -> bucket join -> Jaccard verify
+  * SimHash        — bitwise majority fingerprint, groupable/hamming-banded
+
+All hashes are md5-derived so the DuckDB oracle reproduces them bit-for-bit
+(no engine-specific hash functions in any dedup path).
+
+Scale notes: every operator is blocking-key-first — candidate pairs are only
+generated inside a shared bucket, never via cross join.  The shingle
+explode is the big intermediate (docs x shingles); it hash-partitions on
+the shingle, which is also the skew axis (stopword shingles) — mitigated by
+dropping top-frequency shingles (``max_shingle_freq``), the standard
+suppression used in web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup by normalized-content md5.
+    Returns doc_id, canonical_doc_id (min doc_id of the content group)."""
+    fp = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.lower(F.regexp_replace("text", " +", " "))).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return (
+        fp.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .select("doc_id", "canonical_doc_id")
+    )
+
+
+def prefix_duplicates(docs: DataFrame, prefix_len: int = 64) -> DataFrame:
+    """Blocking-key dedup on a text prefix; returns only docs in groups >1:
+    doc_id, canonical_doc_id, group_size."""
+    fp = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.substring("text", 1, prefix_len)).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return (
+        fp.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .where(F.col("group_size") > 1)
+        .select("doc_id", "canonical_doc_id", F.col("group_size").cast("long").alias("group_size"))
+    )
+
+
+def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) word-k-shingles, distinct per doc."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.lower(F.col("text")), " +").alias("t"),
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.where(F.length("shingle") > 0).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by word-k-shingle Jaccard.
+
+    Pipeline: shingle -> suppress hot shingles -> self-join on shingle
+    (candidate blocking) -> count shared -> Jaccard >= threshold.
+    Output: doc_a < doc_b, jaccard (4dp).
+    """
+    sh = _shingles(docs, k)
+    hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_band_hash(i: int):
+    """md5-derived 32-bit hash family: h_i(s) = int(md5(i ':' s)[:8], 16)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures over word-k-shingles."""
+    sh = _shingles(docs, k)
+    aggs = [F.min(_minhash_band_hash(i)).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures -> bucket join ->
+    exact-Jaccard verification of candidates only.
+    Output: doc_a < doc_b, jaccard (4dp)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cands = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # Verify candidates with exact shingle Jaccard (semi-join pruned).
+    sh = _shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash long): bitwise-majority fingerprint over tokens.
+
+    bit b of token t = bit b of int(md5(t)[:8], 16); simhash bit b is set
+    iff more tokens have it set than not.  md5-derived so the oracle can
+    reproduce it exactly.
+    """
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " +"))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bit = h.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"), "h"
+    ).withColumn("set", F.expr("shiftright(h, b) & 1"))
+    per_bit = bit.groupBy("doc_id", "b").agg(
+        (F.sum(F.when(F.col("set") == 1, 1).otherwise(-1)) > 0).cast("long").alias("maj")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("maj * shiftleft(1L, b)")).alias("simhash")
+    )

@@ -1,0 +1,96 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-native columns (no UDFs) — these run over every document at
+10^12-doc scale, so they must stay inside whole-stage codegen.  Each
+function is mirrored by an ANSI-SQL oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic stopword marker set for the language-ID heuristic.
+EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("tokens", F.split(F.col(text_col), " +"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_chars, avg_token_len (4dp)."""
+    t = with_tokens(docs)
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.aggregate("tokens", F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.size("tokens"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword-ratio quality heuristics (cf. C4/Gopher-style
+    rules).  doc_id, n_tokens, stopword_ratio, uniq_token_ratio, quality_ok."""
+    t = with_tokens(docs)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    out = t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.filter("tokens", lambda x: F.array_contains(sw, x)))
+            / F.size("tokens").cast("double"),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct("tokens")) / F.size("tokens").cast("double"), 4
+        ).alias("uniq_token_ratio"),
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 5)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("uniq_token_ratio") >= 0.2),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """n-gram/stopword language heuristic: doc_id, en_score, pred_lang.
+
+    (The corpus is synthetic so the heuristic, not its accuracy, is what the
+    oracle checks.)"""
+    t = with_tokens(docs)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    score = F.round(
+        F.size(F.filter("tokens", lambda x: F.array_contains(sw, x)))
+        / F.size("tokens").cast("double"),
+        4,
+    )
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        score.alias("en_score"),
+    ).withColumn(
+        "pred_lang", F.when(F.col("en_score") > 0.05, F.lit("en")).otherwise(F.lit("unk"))
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprints:
+    * content_fp — md5 of whitespace-normalized lowercased text (exact dup key)
+    * shingle_fp — md5 of the sorted distinct token set (order-insensitive)
+    * prefix_fp  — md5 of the first 64 chars (cheap near-dup blocking key)
+    """
+    t = with_tokens(docs.withColumn("norm", F.lower(F.regexp_replace("text", " +", " "))))
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("norm").alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("norm"), " "))))).alias(
+            "shingle_fp"
+        ),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_fp"),
+    )

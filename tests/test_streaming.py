@@ -1,0 +1,65 @@
+"""Structured Streaming coverage.
+
+The reference has no streaming (sync is tag-versioned batch — SURVEY §2.8);
+our incremental model is batch snapshots.  This module proves the windowed
+aggregation used in `events_windowed_counts` produces identical results when
+driven through readStream (Trigger.AvailableNow-style), i.e. the engine's
+operators are streaming-compatible where the semantics allow.
+"""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    schema = batch.schema
+
+    # FileStreamSource requires a directory
+    import shutil
+
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-0.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    # parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP (session-TZ
+    # is pinned to UTC so the cast is value-preserving)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp("window.start").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.hour_epoch, r.event_type, r.n, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM stream_out").collect()
+    }
+    expected = {
+        (r.hour_epoch, r.event_type, r.n, round(r.total_value, 6))
+        for r in batch.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == expected
