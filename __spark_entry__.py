@@ -401,14 +401,16 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     from cartography_spark.ops.dedup import minhash_lsh_pairs
     from cartography_spark.sources.fixtures import read_table
 
-    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+    # hash_fn='md5' so DuckDB reproduces signatures bit-for-bit; production
+    # default is the ~7x-faster, contention-free xxhash64 family.
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
 def _q_dedup_simhash(spark, sf_dir):
     from cartography_spark.ops.dedup import simhash
     from cartography_spark.sources.fixtures import read_table
 
-    return simhash(read_table(spark, sf_dir, "documents"))
+    return simhash(read_table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
 def _query_vec(spark, sf_dir):
@@ -426,6 +428,19 @@ def _q_sim_topk_cosine(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def _q_sim_topk_arrow(spark, sf_dir):
+    """numpy/BLAS kernel variant of brute-force top-k — same contract (and
+    oracle) as sim_topk_cosine, ~30x less per-element overhead."""
+    from cartography_spark.ops.similarity import cosine_topk_arrow
+    from cartography_spark.sources.fixtures import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_arrow(emb, [_query_vec(spark, sf_dir)], k=20)
+    return out.where(F.col("query_idx") == 0).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
 
 
 def _q_sim_ann_lsh(spark, sf_dir):
@@ -510,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_topk_arrow": _q_sim_topk_arrow,
         "sim_ann_lsh": _q_sim_ann_lsh,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "events_sessions": _q_events_sessions,
@@ -534,11 +550,15 @@ def _minhash_sig_sql(num_hashes: int = 16, bands: int = 4) -> str:
         )
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
     banded = "\n      UNION ALL\n      ".join(band_rows)
+    # signatures/verification run over UNsuppressed shingles (shing) — the
+    # Spark minhash path applies no hot-shingle suppression (that belongs to
+    # the Jaccard blocking join, which would explode on hot keys; the
+    # MinHash bucket join never joins on a shingle).
     return f"""
   hashes AS (
-    SELECT sh.doc_id, g.i,
-           ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || sh.shingle), 1, 8))::BIGINT AS h
-    FROM sh, LATERAL (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) g
+    SELECT shing.doc_id, g.i,
+           ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || shing.shingle), 1, 8))::BIGINT AS h
+    FROM shing, LATERAL (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) g
   ),
   sig AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
   banded AS ({banded}),
@@ -830,18 +850,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": f"""
             WITH {SQL_SHINGLES},
+            sizes_un AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
             {_minhash_sig_sql()},
             shared AS (
               SELECT c.doc_a, c.doc_b, count(*) AS shared
-              FROM cands c JOIN sh a ON a.doc_id = c.doc_a
-                           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              FROM cands c JOIN shing a ON a.doc_id = c.doc_a
+                           JOIN shing b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
               GROUP BY 1, 2
             )
             SELECT s.doc_a, s.doc_b,
                    round(CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared), 4) AS jaccard
             FROM shared s
-            JOIN sizes na ON na.doc_id = s.doc_a
-            JOIN sizes nb ON nb.doc_id = s.doc_b
+            JOIN sizes_un na ON na.doc_id = s.doc_a
+            JOIN sizes_un nb ON nb.doc_id = s.doc_b
             WHERE CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared) >= 0.5
         """,
         "dedup_simhash": """
@@ -862,6 +883,20 @@ def oracle_sql() -> dict[str, str]:
             FROM bits GROUP BY doc_id
         """,
         "sim_topk_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       6) AS cosine
+              FROM embeddings e, q
+            )
+            SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "sim_topk_arrow": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
               SELECT e.vec_id,

@@ -30,3 +30,24 @@ def detect_drift(start: DataFrame, end: DataFrame) -> DataFrame:
 def split_multi_value(df: DataFrame, col: str) -> DataFrame:
     """Pipe-delimited multi-value expansion (detect_deviations.py:105-109)."""
     return df.withColumn(col, F.split(F.col(col), r"\|"))
+
+
+def save_state(df: DataFrame, state_dir: str, name: str, tag: int) -> str:
+    """Archive a query's result as a drift state (reference:
+    driftdetect/get_states.py + storage.py — JSON files per run).  States are
+    parquet here (columnar, schema'd); path encodes (detector name, tag)."""
+    path = f"{state_dir}/{name}/tag={tag}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_state(spark, state_dir: str, name: str, tag: int) -> DataFrame:
+    return spark.read.parquet(f"{state_dir}/{name}/tag={tag}")
+
+
+def drift_between_states(spark, state_dir: str, name: str, tag_a: int, tag_b: int) -> DataFrame:
+    """compare_states analog: diff two archived states of one detector."""
+    return detect_drift(
+        load_state(spark, state_dir, name, tag_a),
+        load_state(spark, state_dir, name, tag_b),
+    )

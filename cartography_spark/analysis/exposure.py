@@ -46,12 +46,15 @@ def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
     s = s.crossJoin(F.broadcast(n_parts))
     # sg keys are multiples of 10 in [0, n_part); map suppliers onto them
+    from cartography_spark.sources.fixtures import _acct
+
     return s.select(
         F.concat(F.lit("i-"), F.col("s_suppkey").cast("string")).alias("instance_id"),
         F.concat(
             F.lit("sg-"), (((F.col("s_suppkey") * 10) % F.col("n_part")) - (((F.col("s_suppkey") * 10) % F.col("n_part")) % 10)).cast("string")
         ).alias("sg_id"),
         ((F.col("s_suppkey") % 10) * 100 + 50).cast("long").alias("listener_port"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
     )
 
 
@@ -104,4 +107,6 @@ def mark_exposure(store, spark: SparkSession, sf_dir: str, update_tag: int) -> N
         ),
     )
     rest = nodes.join(F.broadcast(exposed), ["id"], "left_anti")
-    store.commit(rest.unionByName(marked), store.edges(), "analysis:exposure", update_tag)
+    store.commit(
+        rest.unionByName(marked), store.edges(), "analysis:aws_asset_exposure", update_tag
+    )

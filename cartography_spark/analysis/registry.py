@@ -1,0 +1,50 @@
+"""Config-driven analysis job registry.
+
+Parity: the reference ships analysis jobs as packaged JSON Cypher
+(GraphJob.from_json_file, graph/job.py:169-180) and runs them all at sync
+end (intel/analysis.py:12-43).  Here a job is a named callable over the
+GraphStore; the registry preserves the reference's contract that analysis
+runs *last* and is orderable/configurable without touching engine code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+from cartography_spark.core.store import GraphStore
+
+
+@dataclass(frozen=True)
+class AnalysisJob:
+    name: str
+    run: Callable[[GraphStore, SparkSession, str, int], None]
+
+
+def default_jobs() -> list[AnalysisJob]:
+    from cartography_spark.analysis.exposure import mark_exposure
+
+    return [
+        AnalysisJob("aws_asset_exposure", mark_exposure),
+    ]
+
+
+def run_analysis_jobs(
+    store: GraphStore,
+    spark: SparkSession,
+    sf_dir: str,
+    update_tag: int,
+    jobs: list[AnalysisJob] | None = None,
+) -> list[str]:
+    """Run registered analysis passes in order; each is stage-checkpointed
+    so a resumed sync skips completed jobs."""
+    ran = []
+    for job in jobs if jobs is not None else default_jobs():
+        stage = f"analysis:{job.name}"
+        if store.stage_done(stage, update_tag):
+            continue
+        job.run(store, spark, sf_dir, update_tag)
+        ran.append(job.name)
+    return ran

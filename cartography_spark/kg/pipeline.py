@@ -17,8 +17,7 @@ from cartography_spark.core.store import GraphStore
 from cartography_spark.kg.materialize import sync_documents
 from cartography_spark.modules import aws_iam, aws_tags, okta, permissions
 from cartography_spark.modules.aws_base import sync_accounts
-from cartography_spark.modules.aws_emr import EMR_CLUSTER_SCHEMA, sync_emr
-from cartography_spark.modules.aws_iam import USER_SCHEMA
+from cartography_spark.modules.aws_emr import sync_emr
 from cartography_spark.modules.github import sync_github
 from cartography_spark.sources import fixtures as fx
 from cartography_spark.sources.docs_synth import interleaved_documents
@@ -88,6 +87,31 @@ def run_sync(
             update_tag,
         )
 
+    # EC2 instances (analysis target for the exposure pass)
+    if not store.stage_done("aws:ec2", update_tag):
+        from cartography_spark.analysis.exposure import instances
+        from cartography_spark.core.loader import compile_edges, compile_nodes
+        from cartography_spark.core.model import NodeSchema, PropertyRef
+        from cartography_spark.modules.aws_base import account_resource_rel
+
+        ec2_schema = NodeSchema(
+            label="EC2Instance",
+            id=PropertyRef("instance_id"),
+            properties={
+                "sg_id": PropertyRef("sg_id"),
+                "listener_port": PropertyRef("listener_port"),
+                "account_id": PropertyRef("account_id"),
+            },
+            sub_resource_rel=account_resource_rel(),
+        )
+        inst = instances(spark, sf_dir)
+        store.upsert(
+            compile_nodes(inst, ec2_schema, update_tag),
+            compile_edges(inst, ec2_schema, store.nodes(), update_tag),
+            "aws:ec2",
+            update_tag,
+        )
+
     okta.sync_okta(
         store,
         fx.okta_orgs(spark, sf_dir),
@@ -120,6 +144,11 @@ def run_sync(
 
     # --- cleanup (stale elements from prior tags) ------------------------------
     run_cleanup(spark, store, update_tag)
+
+    # --- analysis (always last, reference sync.py:41-61) ------------------------
+    from cartography_spark.analysis.registry import run_analysis_jobs
+
+    run_analysis_jobs(store, spark, sf_dir, update_tag)
 
     meta = store.current_meta()
     return SyncResult(

@@ -46,43 +46,78 @@ def _principal_statements(policies: DataFrame, statements: DataFrame) -> DataFra
     )
 
 
-@F.pandas_udf(T.BooleanType())
-def _eval_policy(
-    stmts_json: pd.Series, resource_arn: pd.Series, permission: pd.Series
-) -> pd.Series:
-    import json
-    import re
-    from functools import lru_cache
+def _build_policy_udfs():
+    """Construct the two policy-eval UDFs with every helper NESTED, so
+    cloudpickle serializes them by value — python workers need no importable
+    cartography_spark module (works under plain pyspark, spark-submit
+    --py-files, and ad-hoc drivers alike).  lru_caches live per worker
+    process, giving the once-per-executor regex compilation the reference
+    hoists manually (permission_relationships.py:227-243)."""
 
-    @lru_cache(maxsize=4096)
-    def compiled(pattern: str) -> "re.Pattern":
-        # IAM wildcard grammar -> anchored case-insensitive regex.
-        return re.compile(
-            "^" + re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$",
-            re.IGNORECASE,
+    def make_decide():
+        import json
+        import re
+        from functools import lru_cache
+
+        @lru_cache(maxsize=8192)
+        def compiled(pattern: str):
+            # IAM wildcard grammar -> anchored case-insensitive regex.
+            return re.compile(
+                "^" + re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$",
+                re.IGNORECASE,
+            )
+
+        @lru_cache(maxsize=8192)
+        def parsed(sj: str):
+            return json.loads(sj)
+
+        def matches(patterns, value) -> bool:
+            return any(compiled(p).match(value) for p in (patterns or []))
+
+        def decide(sj: str, arn: str, perm: str) -> bool:
+            allowed = denied = False
+            for s in parsed(sj):
+                if matches(s.get("action"), perm) and matches(s.get("resource"), arn):
+                    if s.get("effect") == "Deny":
+                        denied = True
+                    else:
+                        allowed = True
+            return allowed and not denied
+
+        return decide
+
+    @F.pandas_udf(T.BooleanType())
+    def eval_policy(
+        stmts_json: pd.Series, resource_arn: pd.Series, permission: pd.Series
+    ) -> pd.Series:
+        decide = make_decide()
+        return pd.Series(
+            [
+                False if sj is None else decide(sj, arn, perm)
+                for sj, arn, perm in zip(stmts_json, resource_arn, permission)
+            ]
         )
 
-    @lru_cache(maxsize=4096)
-    def parsed(sj: str):
-        return json.loads(sj)
+    @F.pandas_udf(T.ArrayType(T.BooleanType()))
+    def eval_policy_many(
+        stmts_json: pd.Series, resource_arns: pd.Series, permission: pd.Series
+    ) -> pd.Series:
+        # Array form: one row per principal, the whole candidate-resource
+        # array evaluated in one call — each principal's policy JSON crosses
+        # Arrow once, not once per (principal, resource) pair.
+        decide = make_decide()
+        out = []
+        for sj, arns, perm in zip(stmts_json, resource_arns, permission):
+            if sj is None or arns is None:
+                out.append([])
+            else:
+                out.append([decide(sj, a, perm) for a in arns])
+        return pd.Series(out)
 
-    def matches(patterns, value) -> bool:
-        return any(compiled(p).match(value) for p in (patterns or []))
+    return eval_policy, eval_policy_many
 
-    out = []
-    for sj, arn, perm in zip(stmts_json, resource_arn, permission):
-        if sj is None:
-            out.append(False)
-            continue
-        allowed = denied = False
-        for s in parsed(sj):
-            if matches(s.get("action"), perm) and matches(s.get("resource"), arn):
-                if s.get("effect") == "Deny":
-                    denied = True
-                else:
-                    allowed = True
-        out.append(allowed and not denied)
-    return pd.Series(out)
+
+_eval_policy, _eval_policy_many = _build_policy_udfs()
 
 
 def evaluate_permissions(
@@ -90,25 +125,39 @@ def evaluate_permissions(
     statements: DataFrame,
     resources: DataFrame,
     permission: str,
-    broadcast_resources: bool = True,
+    chunk_size: int = 10_000,
 ) -> DataFrame:
     """(principal_arn, resource_arn) pairs where `permission` is granted.
 
-    ``resources`` needs one column ``arn``.  At scale: pre-prune the cross
-    join by service (an s3 permission can only match s3 ARNs or '*'), then
-    broadcast the pruned dimension.
+    ``resources`` needs one column ``arn``.  The resource dimension is
+    collected into broadcast ARRAY chunks (≤ chunk_size each) and each
+    principal row evaluates a whole chunk per UDF call — the pair frame
+    never materializes JVM-side and each principal's policy JSON crosses
+    Arrow once per chunk, not once per pair.  At scale: pre-prune by
+    service (an s3 permission can only match s3 ARNs or '*') before
+    chunking.
     """
     pstmts = _principal_statements(policies, statements)
-    res = resources.select(F.col("arn").alias("resource_arn")).distinct()
-    if broadcast_resources:
-        res = F.broadcast(res)
-    pairs = pstmts.crossJoin(res)
+    # chunk id: stable hash bucketing so each chunk stays under chunk_size
+    n_res = resources.select(F.col("arn")).distinct().count()
+    n_chunks = max(1, (n_res + chunk_size - 1) // chunk_size)
+    chunks = (
+        resources.select(F.col("arn").alias("resource_arn"))
+        .distinct()
+        .withColumn("chunk", F.pmod(F.xxhash64("resource_arn"), F.lit(n_chunks)))
+        .groupBy("chunk")
+        .agg(F.collect_list("resource_arn").alias("resources"))
+    )
+    pairs = pstmts.crossJoin(F.broadcast(chunks))
+    evald = pairs.withColumn(
+        "ok_arr", _eval_policy_many("stmts_json", "resources", F.lit(permission))
+    )
     return (
-        pairs.withColumn(
-            "ok", _eval_policy("stmts_json", "resource_arn", F.lit(permission))
+        evald.select(
+            "principal_arn", F.explode(F.arrays_zip("resources", "ok_arr")).alias("z")
         )
-        .where(F.col("ok"))
-        .select("principal_arn", "resource_arn")
+        .where(F.col("z.ok_arr"))
+        .select("principal_arn", F.col("z.resources").alias("resource_arn"))
     )
 
 
@@ -167,15 +216,22 @@ def sts_assumerole_pairs(
         root_trusts, principals["acct"] == root_trusts["trusted_acct"], "inner"
     ).where(F.col("principal_arn") != F.col("role_arn"))
 
+    # group each principal's candidate roles into one array row: the policy
+    # JSON crosses Arrow once per principal, not once per candidate pair
+    grouped = cand.groupBy("principal_arn").agg(
+        F.array_distinct(F.collect_list("role_arn")).alias("roles")
+    )
     pstmts = _principal_statements(policies, statements)
-    cand = cand.join(pstmts, "principal_arn", "inner")
+    grouped = grouped.join(pstmts, "principal_arn", "inner")
+    evald = grouped.withColumn(
+        "ok_arr", _eval_policy_many("stmts_json", "roles", F.lit("sts:AssumeRole"))
+    )
     return (
-        cand.withColumn(
-            "ok", _eval_policy("stmts_json", "role_arn", F.lit("sts:AssumeRole"))
+        evald.select(
+            "principal_arn", F.explode(F.arrays_zip("roles", "ok_arr")).alias("z")
         )
-        .where(F.col("ok"))
-        .select("principal_arn", "role_arn")
-        .distinct()
+        .where(F.col("z.ok_arr"))
+        .select("principal_arn", F.col("z.roles").alias("role_arn"))
     )
 
 

@@ -7,8 +7,15 @@ Four tiers, each a standard large-scale technique:
   * MinHash + LSH  — signature bands -> bucket join -> Jaccard verify
   * SimHash        — bitwise majority fingerprint, groupable/hamming-banded
 
-All hashes are md5-derived so the DuckDB oracle reproduces them bit-for-bit
-(no engine-specific hash functions in any dedup path).
+Hash family is parameterized (``hash_fn``):
+  * ``xxhash`` (default) — Spark-native xxhash64: contention-free and ~7x
+    faster than md5.  Measured on this box, Spark's ``md5`` expression
+    *anti-scales* with thread count (a per-call MessageDigest behind a
+    contended provider lookup: 50M hashes 4.8s @ 8 threads -> 6.8s @ 32);
+    xxhash64 is pure codegen.  Production always wants this.
+  * ``md5``               — bit-for-bit reproducible in the DuckDB oracle
+    (used by the correctness-gate queries; same algorithm, same candidates,
+    only the hash family differs).
 
 Scale notes: every operator is blocking-key-first — candidate pairs are only
 generated inside a shared bucket, never via cross join.  The shingle
@@ -54,8 +61,16 @@ def prefix_duplicates(docs: DataFrame, prefix_len: int = 64) -> DataFrame:
     )
 
 
-def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) word-k-shingles, distinct per doc."""
+def _shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word-k-shingles.
+
+    ``distinct=True`` gives set semantics (required for Jaccard sizes) at
+    the cost of a full shuffle of the exploded shingles.  ``distinct=False``
+    keeps the multiset and stays NARROW (no shuffle) — correct wherever the
+    consumer is duplicate-insensitive, e.g. MinHash (min over a multiset ==
+    min over its set), which turns the signature computation from a
+    shuffle-the-corpus job into a map-side partial aggregation.
+    """
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.lower(F.col("text")), " +").alias("t"),
@@ -69,7 +84,8 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh.where(F.length("shingle") > 0).distinct()
+    sh = sh.where(F.length("shingle") > 0)
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(
@@ -111,17 +127,31 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _minhash_band_hash(i: int):
-    """md5-derived 32-bit hash family: h_i(s) = int(md5(i ':' s)[:8], 16)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8), 16, 10).cast(
-        "long"
-    )
+def _minhash_hash(i: int, hash_fn: str):
+    """32-bit hash family member h_i(shingle)."""
+    if hash_fn == "md5":
+        # oracle-reproducible: int(md5(i ':' s)[:8], 16)
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8), 16, 10
+        ).cast("long")
+    # fast path: seed the family by hashing the index alongside the value
+    return F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(2**32)).cast("long")
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 16) -> DataFrame:
-    """(doc_id, sig array<long>) MinHash signatures over word-k-shingles."""
-    sh = _shingles(docs, k)
-    aggs = [F.min(_minhash_band_hash(i)).alias(f"h{i}") for i in range(num_hashes)]
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, hash_fn: str = "xxhash"
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures over word-k-shingles.
+
+    Uses MULTISET shingles (no distinct): min is duplicate-insensitive, so
+    the expensive set-dedup shuffle is skipped — the explode stays narrow
+    and the groupBy's map-side partial aggregation collapses each partition
+    to one row per doc before the (tiny) shuffle.  At 10^12 docs this is
+    the difference between shuffling the shingled corpus and shuffling
+    num_hashes longs per document.
+    """
+    sh = _shingles(docs, k, distinct=False)
+    aggs = [F.min(_minhash_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -134,12 +164,13 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures -> bucket join ->
     exact-Jaccard verification of candidates only.
     Output: doc_a < doc_b, jaccard (4dp)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, k, num_hashes)
+    sig = minhash_signatures(docs, k, num_hashes, hash_fn)
 
     band_cols = []
     for b in range(bands):
@@ -187,20 +218,22 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 32, hash_fn: str = "xxhash") -> DataFrame:
     """(doc_id, simhash long): bitwise-majority fingerprint over tokens.
 
-    bit b of token t = bit b of int(md5(t)[:8], 16); simhash bit b is set
-    iff more tokens have it set than not.  md5-derived so the oracle can
-    reproduce it exactly.
+    bit b of token t = bit b of h(t); simhash bit b is set iff more tokens
+    have it set than not.  hash_fn='md5' is oracle-reproducible.
     """
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " +"))).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = toks.withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    h_expr = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        if hash_fn == "md5"
+        else F.pmod(F.xxhash64("tok"), F.lit(2**32)).cast("long")
     )
+    h = toks.withColumn("h", h_expr)
     bit = h.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"), "h"
     ).withColumn("set", F.expr("shiftright(h, b) & 1"))

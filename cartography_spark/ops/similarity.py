@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,6 +33,70 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for MANY queries via a numpy/BLAS kernel.
+
+    The production path for brute-force similarity: each Arrow batch of
+    vectors becomes one (batch x dim) matrix, all queries score in a single
+    GEMM (~30x less per-element overhead than JVM higher-order functions),
+    and **top-k reduction happens inside the kernel** — each batch emits at
+    most k rows per query, so the Arrow return path and the final shuffle
+    carry candidates, never the full score matrix.  A global per-query
+    window picks the final top-k.
+    Output: query_idx, vec_id, cosine (double), exactly k rows per query.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q = np.asarray(query_vecs, dtype=np.float64)  # (nq, dim)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_idx", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (b, dim)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            scores = (m / norms[:, None]) @ qn.T  # (b, nq)
+            b, nq = scores.shape
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, b)
+            # per-query partial top-k within this batch
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
+            qi = np.tile(np.arange(nq, dtype=np.int32), kk)
+            yield pd.DataFrame(
+                {
+                    "query_idx": qi,
+                    "vec_id": ids[top.ravel()],
+                    "cosine": np.take_along_axis(scores, top, axis=0).ravel(),
+                }
+            )
+
+    sel = embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    cands = sel.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_idx").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -78,6 +78,22 @@ def test_ann_recall_vs_brute_force(spark, emb):
     assert exact[0] == 0 and 0 in approx
 
 
+def test_cosine_topk_arrow_matches_jvm(spark, emb):
+    """The numpy/BLAS kernel and the JVM aggregate path agree on top-k."""
+    from cartography_spark.ops.similarity import cosine_topk, cosine_topk_arrow
+
+    rows = emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [[float(x) for x in r.embedding] for r in rows]
+    arrow = cosine_topk_arrow(emb, queries, k=10).collect()
+    by_q = {}
+    for r in arrow:
+        by_q.setdefault(r.query_idx, []).append((r.vec_id, round(r.cosine, 6)))
+    for qi, q in enumerate(queries):
+        jvm = [(r.vec_id, r.cosine) for r in cosine_topk(emb, q, k=10).collect()]
+        got = sorted(by_q[qi], key=lambda t: (-t[1], t[0]))
+        assert got == jvm, f"query {qi}: {got} != {jvm}"
+
+
 def test_multimodal_decode_plumbing(spark):
     from cartography_spark.ops.multimodal import decode_media, frame_sample_plan
     from cartography_spark.sources.docs_synth import exploded_spans, interleaved_documents
