@@ -94,19 +94,42 @@ def exposed_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mark_exposure(store, spark: SparkSession, sf_dir: str, update_tag: int) -> None:
     """Append 'direct' to exposed instances' exposed_internet_type — the
-    list-property accumulation (A4: coalesce(x,[]) + elem) on the graph."""
+    list-property accumulation (A4: coalesce(x,[]) + elem) on the graph.
+
+    Rewrites ONLY the EC2Instance label slice (commit_partial): the analysis
+    attribute is rebuilt for the whole label each run, so instances no longer
+    exposed lose the stale mark — the set-wise analog of the reference job's
+    clearing statements (aws_ec2_asset_exposure.json sets the attribute
+    fresh per run)."""
     exposed = exposed_instances(spark, sf_dir).select(
         F.col("instance_id").alias("id")
     )
-    nodes = store.nodes()
-    marked = nodes.join(F.broadcast(exposed), ["id"], "left_semi").withColumn(
+    ec2 = store.nodes(labels=["EC2Instance"])
+    marked = ec2.join(F.broadcast(exposed), ["id"], "left_semi").withColumn(
         "props",
         F.map_concat(
-            F.coalesce("props", F.create_map()),
+            # strip any prior mark first — map_concat EXCEPTIONs on duplicate
+            # keys under ANSI policy (re-running analysis on an already-marked
+            # node must be idempotent)
+            F.map_filter(
+                F.coalesce("props", F.create_map()),
+                lambda k, _: k != F.lit("exposed_internet_type"),
+            ),
             F.create_map(F.lit("exposed_internet_type"), F.lit('["direct"]')),
         ),
     )
-    rest = nodes.join(F.broadcast(exposed), ["id"], "left_anti")
-    store.commit(
-        rest.unionByName(marked), store.edges(), "analysis:aws_asset_exposure", update_tag
+    rest = ec2.join(F.broadcast(exposed), ["id"], "left_anti").withColumn(
+        "props",
+        F.when(
+            F.col("props").isNotNull(),
+            F.map_filter(F.col("props"), lambda k, _: k != F.lit("exposed_internet_type")),
+        ),
+    )
+    store.commit_partial(
+        rest.unionByName(marked),
+        None,
+        ["EC2Instance"],
+        [],
+        "analysis:aws_asset_exposure",
+        update_tag,
     )

@@ -102,9 +102,9 @@ def compile_nodes(
 
     Semantics of the reference's node MERGE (querybuilder.py:372-401):
       * id from the schema's id ref;
-      * duplicate ids inside one batch collapse last-write-wins (MERGE
-        applies rows sequentially; we reproduce it with a deterministic
-        window over the batch order);
+      * duplicate ids inside one batch collapse to a single row via a
+        deterministic content-hash window (see inline note — Spark batches
+        are unordered, so sequential last-write-wins has no analog);
       * ``lastupdated`` stamped with the run tag; ``firstseen`` left NULL —
         the store resolves it to ``coalesce(existing.firstseen, tag)`` at
         commit time, reproducing ``ON CREATE SET firstseen``.
@@ -136,9 +136,13 @@ def compile_nodes(
         F.lit(int(update_tag)).alias("lastupdated"),
     ).where(F.col("id").isNotNull())
 
-    # Last-write-wins dedupe inside the batch (A5 in SURVEY.md §2.4): a
-    # stable tiebreak via the row's full content keeps re-runs deterministic
-    # even though batch order itself is not a Spark concept.
+    # Intra-batch duplicate-id collapse (A5 in SURVEY.md §2.4).  NOTE on
+    # semantics: the reference applies MERGE rows sequentially, so its winner
+    # is the batch's last row; a distributed batch has no row order, so the
+    # winner here is selected by a deterministic content hash — stable across
+    # re-runs and partitionings, but NOT "last" in any input sense.  When
+    # duplicate ids carry different props the surviving props may differ from
+    # the reference's; callers that care must dedupe upstream.
     w = Window.partitionBy("id").orderBy(F.xxhash64(F.to_json(F.struct("props"))).desc())
     return (
         out.withColumn("_rn", F.row_number().over(w))

@@ -1,32 +1,42 @@
-"""GraphStore — snapshot-versioned node/edge triple tables with MERGE semantics.
+"""GraphStore — manifest-versioned node/edge triple tables with MERGE semantics.
 
 Production target is Iceberg (``MERGE INTO nodes USING batch ON t.id = b.id
 AND t.label = b.label WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN
 INSERT ...``), with tables partitioned by label and Z-ordered on id.  The
 sandbox image has no Iceberg runtime jar, so this module implements the same
-contract on plain parquet with atomic snapshot directories:
+contract on plain parquet with a *per-label manifest* — the same idea as an
+Iceberg snapshot's manifest list, specialized to label-partitioned tables:
 
-    {root}/nodes/v{N}/...parquet        immutable snapshot N of the node table
-    {root}/edges/v{N}/...parquet
-    {root}/_meta/v{N}.json              lineage + per-stage metrics for N
-    {root}/_CURRENT                     text file holding the live version
+    {root}/data/g{N}/nodes/_label=<label>/*.parquet   label slices written at commit N
+    {root}/data/g{N}/edges/_label=<rel_label>/*.parquet
+    {root}/_meta/v{N}.json    manifest: label -> {path, rows} + lineage + metrics
+    {root}/_CURRENT           text file holding the live version
 
-A commit writes both tables and the meta sidecar, then atomically swings
-``_CURRENT`` — a crash mid-commit leaves the previous snapshot live, which is
-exactly Iceberg's snapshot-isolation behavior.  Stage checkpoints
-(``stage_done``/``mark_stage``) make any pipeline stage idempotently
-resumable: re-running a killed sync skips stages whose (stage, update_tag)
-checkpoint already committed (north_rule resumability).
+A commit writes ONLY the labels its batch touched into a new generation
+directory, then publishes a manifest that points at the new slices for
+touched labels and carries the parent's pointers forward for everything
+else — O(|touched labels|) I/O per commit, not O(|graph|).  ``_CURRENT``
+swings atomically; a crash mid-commit leaves the previous snapshot live
+(Iceberg snapshot-isolation behavior) and the next commit garbage-collects
+the unpublished generation.  Stage checkpoints (``stage_done``) make any
+pipeline stage idempotently resumable: re-running a killed sync skips
+stages whose (stage, update_tag) checkpoint already committed
+(north_rule resumability).
 
 Parity notes vs the reference:
   * upsert == Neo4j MERGE by id with ``ON CREATE SET firstseen``
     (reference: cartography/graph/querybuilder.py:372-401); here a set-wise
-    left join preserves the matched rows' firstseen.
+    left join preserves the matched rows' firstseen.  SET writes only the
+    batch's declared properties (querybuilder.py:96-109 builds SET from the
+    schema's props): matched rows keep property keys the new batch does not
+    mention (per-key map merge), so multiple modules can enrich one node.
   * index creation (reference: cartography/graph/querybuilder.py:404-453,
     data/indexes.cypher) is a deliberate no-op on columnar storage: the
-    equivalents are partition-by-label + ``repartition`` on id before write
-    so same-key rows co-locate, and min/max parquet stats give the pruning
-    an index would.
+    equivalents are the per-label slice layout (partition pruning by label)
+    + ``repartition`` on id before write so same-key rows co-locate, and
+    min/max parquet stats give the pruning an index would.
+  * Single writer per store root is assumed (the reference likewise runs
+    one sync process per Neo4j database).
 """
 
 from __future__ import annotations
@@ -35,7 +45,8 @@ import json
 import os
 import shutil
 import time
-from typing import Mapping
+from typing import Iterable, Mapping
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,8 +56,24 @@ from cartography_spark.core.loader import EDGES_SCHEMA, NODES_SCHEMA
 EDGE_KEY = ["src_id", "rel_label", "dst_id"]
 
 
+def _merge_props(old_col, new_col):
+    """Per-key property merge: new batch's keys win; keys the batch does not
+    mention survive from the stored row (reference MERGE SET semantics —
+    querybuilder.py:96-109 only SETs the schema-declared properties)."""
+    old = F.coalesce(old_col, F.create_map().cast("map<string,string>"))
+    new = F.coalesce(new_col, F.create_map().cast("map<string,string>"))
+    kept = F.map_filter(old, lambda k, _: ~F.array_contains(F.map_keys(new), k))
+    merged = F.map_concat(kept, new)
+    return F.when(F.size(merged) > 0, merged).otherwise(F.lit(None))
+
+
 class GraphStore:
-    """Versioned (nodes, edges) pair with MERGE upsert / anti-join delete."""
+    """Versioned (nodes, edges) pair with MERGE upsert / anti-join delete.
+
+    Commits are incremental per label: each generation directory holds full
+    replacement slices for the labels the commit touched; the manifest maps
+    every live label to its current slice.
+    """
 
     def __init__(self, spark: SparkSession, root: str, write_partitions: int | None = None):
         self.spark = spark
@@ -68,28 +95,199 @@ class GraphStore:
             return int(f.read().strip())
 
     def current_meta(self) -> dict:
-        v = self._current_version()
-        p = os.path.join(self.root, "_meta", f"v{v}.json")
+        return self._manifest(self._current_version())
+
+    def _manifest(self, version: int) -> dict:
+        if version <= 0:
+            return {}
+        p = os.path.join(self.root, "_meta", f"v{version}.json")
         if not os.path.exists(p):
             return {}
         with open(p) as f:
             return json.load(f)
 
-    def _read(self, sub: str, schema, version: int | None = None) -> DataFrame:
-        v = self._current_version() if version is None else version
-        if v == 0:
+    def _read(
+        self,
+        sub: str,
+        schema,
+        version: int | None = None,
+        labels: Iterable[str] | None = None,
+    ) -> DataFrame:
+        man = self._manifest(self._current_version() if version is None else version)
+        entries = man.get(sub, {})
+        if labels is not None:
+            wanted = set(labels)
+            entries = {k: v for k, v in entries.items() if k in wanted}
+        paths = [os.path.join(self.root, e["path"]) for e in entries.values()]
+        if not paths:
             return self.spark.createDataFrame([], schema)
-        # Explicit schema: an empty partitioned write leaves no data files to
-        # infer from, and it also pins column order (partition cols otherwise
-        # come back last).
-        df = self.spark.read.schema(schema).parquet(os.path.join(self.root, sub, f"v{v}"))
+        # Explicit schema pins column order; the label column is stored in the
+        # data files (the _label partition dir is a routing duplicate), so a
+        # direct leaf-dir read needs no partition discovery.
+        df = self.spark.read.schema(schema).parquet(*paths)
         return df.select(*[f.name for f in schema.fields])
 
-    def nodes(self, version: int | None = None) -> DataFrame:
-        return self._read("nodes", NODES_SCHEMA, version)
+    def nodes(self, version: int | None = None, labels: Iterable[str] | None = None) -> DataFrame:
+        """Node table; pass ``labels`` to physically prune to those slices."""
+        return self._read("nodes", NODES_SCHEMA, version, labels)
 
-    def edges(self, version: int | None = None) -> DataFrame:
-        return self._read("edges", EDGES_SCHEMA, version)
+    def edges(
+        self, version: int | None = None, rel_labels: Iterable[str] | None = None
+    ) -> DataFrame:
+        """Edge table; pass ``rel_labels`` to physically prune to those slices."""
+        return self._read("edges", EDGES_SCHEMA, version, rel_labels)
+
+    # ----- write path ---------------------------------------------------------
+
+    def _write_slices(self, df: DataFrame, sub: str, version: int, part_col: str) -> dict:
+        """Write df into data/g{version}/{sub}/_label=<v>/ slices.
+
+        Returns {label: {"path": relpath, "rows": n}}.  Row counts come from
+        a partition-column-only scan of the fresh files (footer metadata —
+        no data pages read).
+        """
+        gen_rel = os.path.join("data", f"g{version}", sub)
+        gen_abs = os.path.join(self.root, gen_rel)
+        (
+            df.withColumn("_label", F.col(part_col))
+            .repartition(self.write_partitions, part_col, df.columns[0])
+            .sortWithinPartitions(part_col)
+            .write.mode("overwrite")
+            .partitionBy("_label")
+            .parquet(gen_abs)
+        )
+        out: dict[str, dict] = {}
+        if not any(d.startswith("_label=") for d in os.listdir(gen_abs)):
+            return out  # empty frame -> no slices
+        counts = (
+            self.spark.read.parquet(gen_abs)
+            .groupBy("_label")
+            .count()
+            .collect()
+        )
+        for r in counts:
+            d = f"_label={r['_label']}"
+            # dir name on disk is partition-escaped; find it by unquoting
+            actual = next(
+                (x for x in os.listdir(gen_abs) if x.startswith("_label=") and unquote(x[7:]) == str(r["_label"])),
+                d,
+            )
+            out[str(r["_label"])] = {
+                "path": os.path.join(gen_rel, actual),
+                "rows": int(r["count"]),
+            }
+        return out
+
+    def _publish(
+        self,
+        node_slices: dict | None,
+        edge_slices: dict | None,
+        touched_node_labels: Iterable[str] | None,
+        touched_rel_labels: Iterable[str] | None,
+        version: int,
+        stage: str,
+        update_tag: int,
+        metrics: Mapping[str, object] | None,
+    ) -> int:
+        """Assemble + atomically publish manifest v{version}.
+
+        ``touched_*`` of None means full replace for that table (the new
+        slices are the whole table); otherwise parent pointers carry forward
+        for untouched labels and touched labels absent from the new slices
+        (fully deleted) drop out.
+        """
+        prev = self._current_version()
+        parent = self._manifest(prev)
+
+        def _assemble(new_slices, touched, table):
+            if touched is None:
+                return dict(new_slices or {})
+            out = {
+                k: v
+                for k, v in parent.get(table, {}).items()
+                if k not in set(touched)
+            }
+            out.update(new_slices or {})
+            return out
+
+        nodes_man = _assemble(node_slices, touched_node_labels, "nodes")
+        edges_man = _assemble(edge_slices, touched_rel_labels, "edges")
+
+        stages = dict(parent.get("stages", {}))
+        stages[stage] = {
+            "update_tag": int(update_tag),
+            "version": version,
+            "labels": sorted((node_slices or {}).keys()),
+            "rels": sorted((edge_slices or {}).keys()),
+        }
+        meta = {
+            "version": version,
+            "parent": prev,
+            "stage": stage,
+            "update_tag": int(update_tag),
+            "committed_at": time.time(),
+            "nodes": nodes_man,
+            "edges": edges_man,
+            "metrics": {
+                "node_rows": sum(e["rows"] for e in nodes_man.values()),
+                "edge_rows": sum(e["rows"] for e in edges_man.values()),
+                "labels_written": len(node_slices or {}),
+                "rels_written": len(edge_slices or {}),
+                **(dict(metrics) if metrics else {}),
+            },
+            "stages": stages,
+        }
+        tmp = os.path.join(self.root, "_meta", f"v{version}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, os.path.join(self.root, "_meta", f"v{version}.json"))
+
+        cur_tmp = os.path.join(self.root, "_CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(cur_tmp, os.path.join(self.root, "_CURRENT"))
+
+        self._gc(keep=(version, prev))
+        return version
+
+    def _gc(self, keep: tuple[int, int]) -> None:
+        """Remove label slices no manifest in ``keep`` references (the parent
+        stays live for time-travel/drift diffing, as an Iceberg catalog would
+        until snapshot expiry)."""
+        referenced = set()
+        for v in keep:
+            man = self._manifest(v)
+            for table in ("nodes", "edges"):
+                for e in man.get(table, {}).values():
+                    referenced.add(os.path.normpath(e["path"]))
+        data = os.path.join(self.root, "data")
+        if not os.path.isdir(data):
+            return
+        for gen in os.listdir(data):
+            gen_dir = os.path.join(data, gen)
+            live = False
+            for sub in ("nodes", "edges"):
+                sub_dir = os.path.join(gen_dir, sub)
+                if not os.path.isdir(sub_dir):
+                    continue
+                for leaf in os.listdir(sub_dir):
+                    if not leaf.startswith("_label="):
+                        continue
+                    rel = os.path.normpath(os.path.join("data", gen, sub, leaf))
+                    if rel in referenced:
+                        live = True
+                    else:
+                        shutil.rmtree(os.path.join(sub_dir, leaf), ignore_errors=True)
+            if not live:
+                shutil.rmtree(gen_dir, ignore_errors=True)
+
+    def _next_version(self) -> int:
+        v = self._current_version() + 1
+        # a crash after writing g{v} but before publish leaves garbage; reclaim
+        gen = os.path.join(self.root, "data", f"g{v}")
+        if os.path.exists(gen):
+            shutil.rmtree(gen, ignore_errors=True)
+        return v
 
     def commit(
         self,
@@ -99,78 +297,61 @@ class GraphStore:
         update_tag: int,
         metrics: Mapping[str, object] | None = None,
     ) -> int:
-        """Write a new immutable snapshot and atomically publish it.
+        """Full-replace commit: the given frames become the whole graph.
 
-        Lineage + metrics land in the meta sidecar next to the commit
-        (north_rule: per-partition lineage and metrics beside each
-        checkpoint).  Row counts come from ``observe`` — a single pass, no
-        extra action.
+        Used by the bulk builder and full-snapshot passes; incremental
+        callers use :meth:`commit_partial` / :meth:`upsert` / :meth:`delete`.
         """
-        prev = self._current_version()
-        v = prev + 1
-
-        # Co-locate by (label, id) so downstream joins and next-run upserts
-        # read clustered data; partitionBy(label) gives partition pruning.
-        (
-            nodes.repartition(self.write_partitions, "label", "id")
-            .sortWithinPartitions("label", "id")
-            .write.mode("overwrite")
-            .partitionBy("label")
-            .parquet(os.path.join(self.root, "nodes", f"v{v}"))
-        )
-        (
-            edges.repartition(self.write_partitions, "rel_label", "src_id")
-            .sortWithinPartitions("rel_label", "src_id")
-            .write.mode("overwrite")
-            .partitionBy("rel_label")
-            .parquet(os.path.join(self.root, "edges", f"v{v}"))
+        v = self._next_version()
+        node_slices = self._write_slices(nodes, "nodes", v, "label")
+        edge_slices = self._write_slices(edges, "edges", v, "rel_label")
+        return self._publish(
+            node_slices, edge_slices, None, None, v, stage, update_tag, metrics
         )
 
-        # Row counts come from the freshly written parquet footers — a
-        # metadata-only job, no second pass over the data.
-        node_rows = self._read("nodes", NODES_SCHEMA, v).count()
-        edge_rows = self._read("edges", EDGES_SCHEMA, v).count()
-
-        prev_meta = self.current_meta()
-        stages = dict(prev_meta.get("stages", {}))
-        stages[stage] = {"update_tag": int(update_tag), "version": v}
-        meta = {
-            "version": v,
-            "parent": prev,
-            "stage": stage,
-            "update_tag": int(update_tag),
-            "committed_at": time.time(),
-            "metrics": {
-                "node_rows": node_rows,
-                "edge_rows": edge_rows,
-                **(dict(metrics) if metrics else {}),
-            },
-            "stages": stages,
-        }
-        tmp = os.path.join(self.root, "_meta", f"v{v}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=2)
-        os.replace(tmp, os.path.join(self.root, "_meta", f"v{v}.json"))
-
-        cur_tmp = os.path.join(self.root, "_CURRENT.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(str(v))
-        os.replace(cur_tmp, os.path.join(self.root, "_CURRENT"))
-
-        # Retire snapshots older than the parent (keep parent for time-travel
-        # / drift diffing; a production catalog would expire by age).
-        for old in range(1, prev):
-            for sub in ("nodes", "edges"):
-                p = os.path.join(self.root, sub, f"v{old}")
-                if os.path.exists(p):
-                    shutil.rmtree(p, ignore_errors=True)
-        return v
+    def commit_partial(
+        self,
+        nodes: DataFrame | None,
+        edges: DataFrame | None,
+        touched_node_labels: Iterable[str],
+        touched_rel_labels: Iterable[str],
+        stage: str,
+        update_tag: int,
+        metrics: Mapping[str, object] | None = None,
+    ) -> int:
+        """Replace only the given labels' slices; everything else carries
+        forward by manifest pointer (the Iceberg-MERGE cost model: I/O is
+        O(touched partitions), not O(table))."""
+        v = self._next_version()
+        node_slices = self._write_slices(nodes, "nodes", v, "label") if nodes is not None else {}
+        edge_slices = (
+            self._write_slices(edges, "edges", v, "rel_label") if edges is not None else {}
+        )
+        return self._publish(
+            node_slices,
+            edge_slices,
+            touched_node_labels,
+            touched_rel_labels,
+            v,
+            stage,
+            update_tag,
+            metrics,
+        )
 
     # ----- resumable stage checkpoints --------------------------------------
 
     def stage_done(self, stage: str, update_tag: int) -> bool:
         s = self.current_meta().get("stages", {}).get(stage)
         return bool(s and s.get("update_tag") == int(update_tag))
+
+    def stages_for_tag(self, update_tag: int) -> dict[str, dict]:
+        """Stage checkpoints recorded under this tag (labels/rels each stage
+        wrote) — the cleanup scoper's source of truth."""
+        return {
+            k: v
+            for k, v in self.current_meta().get("stages", {}).items()
+            if v.get("update_tag") == int(update_tag)
+        }
 
     # ----- MERGE semantics ---------------------------------------------------
 
@@ -182,28 +363,30 @@ class GraphStore:
         update_tag: int,
         metrics: Mapping[str, object] | None = None,
     ) -> int:
-        """MERGE a batch into the live snapshot and commit.
+        """MERGE a batch into the live snapshot; rewrites only touched labels.
 
         firstseen discipline (reference querybuilder.py:376, ``ON CREATE SET
         i.firstseen = timestamp()``): matched rows keep their existing
-        firstseen; new rows get the update tag.  Implemented as one left
-        join per table — no collect, no per-row work.
+        firstseen; new rows get the update tag.  Matched rows' props merge
+        per-key (new keys win, unmentioned keys survive — MERGE SET parity).
+        Implemented as one left join per table over ONLY the touched label
+        slices — no collect of data, no per-row work.
         """
-        nodes, edges = self.nodes(), self.edges()
-
-        # Each batch feeds two joins (merge + anti); cache so the upstream
-        # plan (often a full module pipeline) computes once.
         cached = []
+        touched_labels: list[str] = []
+        touched_rels: list[str] = []
+        nodes_out = edges_out = None
+
         if new_nodes is not None:
             new_nodes = new_nodes.cache()
             cached.append(new_nodes)
-        if new_edges is not None:
-            new_edges = new_edges.cache()
-            cached.append(new_edges)
-
-        if new_nodes is not None:
-            old_keys = nodes.select(
-                F.col("label").alias("_l"), F.col("id").alias("_i"), F.col("firstseen").alias("_fs")
+            touched_labels = [r[0] for r in new_nodes.select("label").distinct().collect()]
+            old = self.nodes(labels=touched_labels)
+            old_keys = old.select(
+                F.col("label").alias("_l"),
+                F.col("id").alias("_i"),
+                F.col("firstseen").alias("_fs"),
+                F.col("props").alias("_op"),
             )
             merged_new = (
                 new_nodes.join(
@@ -211,20 +394,25 @@ class GraphStore:
                     (new_nodes["label"] == old_keys["_l"]) & (new_nodes["id"] == old_keys["_i"]),
                     "left",
                 )
-                .withColumn(
-                    "firstseen", F.coalesce(F.col("_fs"), F.lit(int(update_tag)))
-                )
-                .drop("_l", "_i", "_fs")
+                .withColumn("firstseen", F.coalesce(F.col("_fs"), F.lit(int(update_tag))))
+                .withColumn("props", _merge_props(F.col("_op"), new_nodes["props"]))
+                .drop("_l", "_i", "_fs", "_op")
                 .select(*[f.name for f in NODES_SCHEMA.fields])
             )
-            untouched = nodes.join(
+            untouched = old.join(
                 new_nodes.select("label", "id"), ["label", "id"], "left_anti"
             )
-            nodes = untouched.unionByName(merged_new)
+            nodes_out = untouched.unionByName(merged_new)
 
         if new_edges is not None:
-            old_e = edges.select(
-                *[F.col(k).alias(f"_{k}") for k in EDGE_KEY], F.col("firstseen").alias("_fs")
+            new_edges = new_edges.cache()
+            cached.append(new_edges)
+            touched_rels = [r[0] for r in new_edges.select("rel_label").distinct().collect()]
+            old_edges = self.edges(rel_labels=touched_rels)
+            old_e = old_edges.select(
+                *[F.col(k).alias(f"_{k}") for k in EDGE_KEY],
+                F.col("firstseen").alias("_fs"),
+                F.col("props").alias("_op"),
             )
             cond = (
                 (new_edges["src_id"] == old_e["_src_id"])
@@ -234,14 +422,17 @@ class GraphStore:
             merged_new_e = (
                 new_edges.join(old_e, cond, "left")
                 .withColumn("firstseen", F.coalesce(F.col("_fs"), F.lit(int(update_tag))))
-                .drop("_src_id", "_rel_label", "_dst_id", "_fs")
+                .withColumn("props", _merge_props(F.col("_op"), new_edges["props"]))
+                .drop("_src_id", "_rel_label", "_dst_id", "_fs", "_op")
                 .select(*[f.name for f in EDGES_SCHEMA.fields])
             )
-            untouched_e = edges.join(new_edges.select(*EDGE_KEY), EDGE_KEY, "left_anti")
-            edges = untouched_e.unionByName(merged_new_e)
+            untouched_e = old_edges.join(new_edges.select(*EDGE_KEY), EDGE_KEY, "left_anti")
+            edges_out = untouched_e.unionByName(merged_new_e)
 
         try:
-            return self.commit(nodes, edges, stage, update_tag, metrics)
+            return self.commit_partial(
+                nodes_out, edges_out, touched_labels, touched_rels, stage, update_tag, metrics
+            )
         finally:
             for df in cached:
                 df.unpersist()
@@ -259,18 +450,71 @@ class GraphStore:
         sizing (graph/statement.py:112-128); a snapshot commit needs no
         batching.  DETACH semantics: deleting a node also removes every
         incident edge — done in the same commit so no snapshot ever holds a
-        dangling edge.
+        dangling edge.  Only labels that actually lose rows are rewritten;
+        finding which rel slices hold incident edges costs one column-pruned
+        scan (src_id, dst_id, rel_label) — reads, never writes, the
+        untouched slices.
         """
-        nodes, edges = self.nodes(), self.edges()
+        touched_labels: list[str] = []
+        touched_rels: set[str] = set()
+        nodes_out = edges_out = None
+        cached = []
 
+        sid = None
         if stale_nodes is not None:
-            sn = stale_nodes.select("label", "id").distinct()
-            nodes = nodes.join(sn, ["label", "id"], "left_anti")
-            sid = sn.select("id").distinct()
-            edges = edges.join(sid.withColumnRenamed("id", "src_id"), ["src_id"], "left_anti")
-            edges = edges.join(sid.withColumnRenamed("id", "dst_id"), ["dst_id"], "left_anti")
+            sn = stale_nodes.select("label", "id").distinct().cache()
+            cached.append(sn)
+            touched_labels = [r[0] for r in sn.select("label").distinct().collect()]
+            nodes_out = self.nodes(labels=touched_labels).join(
+                sn, ["label", "id"], "left_anti"
+            )
+            sid = sn.select("id").distinct().cache()
+            cached.append(sid)
+            incident = (
+                self.edges()
+                .select("src_id", "dst_id", "rel_label")
+                .join(F.broadcast(sid.withColumnRenamed("id", "src_id")), ["src_id"], "left_semi")
+                .select("rel_label")
+                .unionByName(
+                    self.edges()
+                    .select("src_id", "dst_id", "rel_label")
+                    .join(
+                        F.broadcast(sid.withColumnRenamed("id", "dst_id")),
+                        ["dst_id"],
+                        "left_semi",
+                    )
+                    .select("rel_label")
+                )
+                .distinct()
+                .collect()
+            )
+            touched_rels.update(r[0] for r in incident)
 
         if stale_edges is not None:
-            edges = edges.join(stale_edges.select(*EDGE_KEY).distinct(), EDGE_KEY, "left_anti")
+            se = stale_edges.select(*EDGE_KEY).distinct().cache()
+            cached.append(se)
+            touched_rels.update(r[0] for r in se.select("rel_label").distinct().collect())
 
-        return self.commit(nodes, edges, stage, update_tag)
+        if touched_rels:
+            edges_out = self.edges(rel_labels=sorted(touched_rels))
+            if sid is not None:
+                edges_out = edges_out.join(
+                    F.broadcast(sid.withColumnRenamed("id", "src_id")), ["src_id"], "left_anti"
+                ).join(
+                    F.broadcast(sid.withColumnRenamed("id", "dst_id")), ["dst_id"], "left_anti"
+                )
+            if stale_edges is not None:
+                edges_out = edges_out.join(se, EDGE_KEY, "left_anti")
+
+        try:
+            return self.commit_partial(
+                nodes_out,
+                edges_out,
+                touched_labels,
+                sorted(touched_rels),
+                stage,
+                update_tag,
+            )
+        finally:
+            for df in cached:
+                df.unpersist()

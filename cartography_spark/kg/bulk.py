@@ -191,8 +191,30 @@ def build_graph(
         foreign.select(
             *_edge(F.col("acct"), "AWSAccount", "RESOURCE", F.col("principal"), "AWSPrincipal", tag)
         ),
-        policies.select(
-            *_edge(F.col("principal_arn"), "AWSRole", "POLICY", F.col("policy_id"), "AWSPolicy", tag)
+        # POLICY edges resolve src_label from the matched principal (parity
+        # with sync_policies' principal join) — a policy attached to a user
+        # or group binds to that node, and unmatched principal_arns prune out.
+        policies.join(
+            F.broadcast(
+                users.select(F.col("arn").alias("p_id"), F.lit("AWSUser").alias("p_label"))
+                .unionByName(
+                    groups.select(F.col("arn").alias("p_id"), F.lit("AWSGroup").alias("p_label"))
+                )
+                .unionByName(
+                    roles.select(F.col("arn").alias("p_id"), F.lit("AWSRole").alias("p_label"))
+                )
+            ),
+            policies["principal_arn"] == F.col("p_id"),
+            "inner",
+        ).select(
+            F.col("p_id").alias("src_id"),
+            F.col("p_label").alias("src_label"),
+            F.lit("POLICY").alias("rel_label"),
+            F.col("policy_id").alias("dst_id"),
+            F.lit("AWSPolicy").alias("dst_label"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+            F.lit(None).cast("long").alias("firstseen"),
+            F.lit(tag).alias("lastupdated"),
         ),
         statements.select(
             *_edge(F.col("policy_id"), "AWSPolicy", "STATEMENT", F.col("statement_id"), "AWSPolicyStatement", tag)

@@ -160,21 +160,37 @@ def run_sync(
 
 
 def run_cleanup(spark: SparkSession, store: GraphStore, update_tag: int) -> None:
-    """Global stale cleanup across the synced schemas.
+    """Stale cleanup scoped to the labels/rels actually synced this run.
 
-    The reference scopes each cleanup job to the sub-resource being synced;
-    a full sync over every tenant is equivalent to cleaning each scoped
-    family — implemented set-wise in two commits (edges legs use the same
-    predicate, nodes DETACH-cascade).
+    The reference scopes each cleanup job to the schema being synced
+    (cleanupbuilder.py builds per-schema queries), so a sync that skips a
+    module (e.g. with_github=False) never wipes that module's data.  Here
+    the scope comes from the stage checkpoints: every upsert records which
+    labels/rel_labels it wrote under this tag, and only those slices are
+    scanned for stale rows — labels untouched this run are preserved verbatim
+    (and, with per-label slices, never even read).
     """
-    stage = "cleanup:global"
+    stage = "cleanup:scoped"
     if store.stage_done(stage, update_tag):
         return
     from pyspark.sql import functions as F
 
-    nodes, edges = store.nodes(), store.edges()
-    stale_nodes = nodes.where(F.col("lastupdated") != int(update_tag)).select("label", "id")
-    stale_edges = edges.where(F.col("lastupdated") != int(update_tag)).select(
-        "src_id", "rel_label", "dst_id"
+    synced_labels: set[str] = set()
+    synced_rels: set[str] = set()
+    for s in store.stages_for_tag(update_tag).values():
+        synced_labels.update(s.get("labels", []))
+        synced_rels.update(s.get("rels", []))
+    if not synced_labels and not synced_rels:
+        return
+
+    stale_nodes = (
+        store.nodes(labels=sorted(synced_labels))
+        .where(F.col("lastupdated") != int(update_tag))
+        .select("label", "id")
+    )
+    stale_edges = (
+        store.edges(rel_labels=sorted(synced_rels))
+        .where(F.col("lastupdated") != int(update_tag))
+        .select("src_id", "rel_label", "dst_id")
     )
     store.delete(stale_nodes, stale_edges, stage, update_tag)

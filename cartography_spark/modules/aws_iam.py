@@ -135,19 +135,51 @@ def sync_role_trusts(store: GraphStore, roles: DataFrame, update_tag: int) -> No
         F.col("p.value").alias("principal"),
     )
 
-    spn_nodes = t.select(
-        F.col("principal").alias("id"),
-        F.lit("AWSPrincipal").alias("label"),
-        F.map_from_arrays(
-            F.array(F.lit("type")), F.array(F.col("ptype"))
-        ).alias("props"),
-        F.lit(None).cast("array<string>").alias("extra_labels"),
-        F.lit(None).cast("long").alias("firstseen"),
-        F.lit(int(update_tag)).alias("lastupdated"),
-    ).dropDuplicates(["id"])
+    # Reference parity: MERGE (:AWSPrincipal{arn}) MATCHES an existing
+    # AWSUser/AWSRole through the shared extra label (iam.py:318-400) — a
+    # role trusting a real principal must bind to that node, not a stub.
+    # Resolve each trusted ARN against live principal nodes first; stubs are
+    # created only for genuinely unknown ARNs (:root, service principals).
+    existing_principals = (
+        store.nodes()
+        .where(
+            (F.col("label") == "AWSPrincipal")
+            | F.array_contains(F.coalesce("extra_labels", F.array()), "AWSPrincipal")
+        )
+        .select(F.col("id").alias("principal"), F.col("label").alias("p_label"))
+    )
+    t = t.join(F.broadcast(existing_principals), ["principal"], "left").withColumn(
+        "dst_label", F.coalesce(F.col("p_label"), F.lit("AWSPrincipal"))
+    )
 
-    foreign = t.withColumn("acct", arn_account(F.col("principal"))).where(
-        F.col("acct") != ""
+    # Stub rows are (re-)emitted for unknown ARNs AND for previously-created
+    # stubs: the reference's MERGE stamps lastupdated on match every run
+    # (iam.py:358-367), which is what keeps live stubs clear of cleanup.
+    # Matched real principals (AWSUser/AWSRole/...) are stamped by their own
+    # module's sync and are NOT re-emitted here.
+    spn_nodes = (
+        t.where(F.col("p_label").isNull() | (F.col("p_label") == "AWSPrincipal"))
+        .select(
+            F.col("principal").alias("id"),
+            F.lit("AWSPrincipal").alias("label"),
+            F.map_from_arrays(
+                F.array(F.lit("type")), F.array(F.col("ptype"))
+            ).alias("props"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.lit(None).cast("long").alias("firstseen"),
+            F.lit(int(update_tag)).alias("lastupdated"),
+        )
+        .dropDuplicates(["id"])
+    )
+
+    # Foreign-account backfill applies to stub principals only: a matched
+    # real principal already carries its own RESOURCE edge from its module
+    # (re-emitting here with dst_label='AWSPrincipal' would clobber it,
+    # since EDGE_KEY does not include labels).
+    foreign = (
+        t.where(F.col("p_label").isNull() | (F.col("p_label") == "AWSPrincipal"))
+        .withColumn("acct", arn_account(F.col("principal")))
+        .where(F.col("acct") != "")
     )
     acct_nodes = foreign.select(
         F.col("acct").alias("id"),
@@ -158,18 +190,18 @@ def sync_role_trusts(store: GraphStore, roles: DataFrame, update_tag: int) -> No
         F.lit(int(update_tag)).alias("lastupdated"),
     ).dropDuplicates(["id"])
 
-    # Synthesized accounts must not clobber real account props: drop ids the
-    # store already has (MERGE would overwrite props with NULL otherwise —
-    # the reference's MERGE only sets lastupdated here, iam.py:358-367).
-    existing_accts = store.nodes().where(F.col("label") == "AWSAccount").select("id")
-    acct_nodes = acct_nodes.join(existing_accts, ["id"], "left_anti")
+    # Synthesized accounts re-MERGE every run (the reference only sets
+    # lastupdated on them, iam.py:358-367): upsert's per-key props merge
+    # keeps a real account's props intact (the stub row's NULL props add no
+    # keys), so no anti-join is needed — and the fresh lastupdated is what
+    # keeps still-referenced foreign accounts clear of scoped cleanup.
 
     trust_edges = t.select(
         F.col("role_arn").alias("src_id"),
         F.lit("AWSRole").alias("src_label"),
         F.lit("TRUSTS_AWS_PRINCIPAL").alias("rel_label"),
         F.col("principal").alias("dst_id"),
-        F.lit("AWSPrincipal").alias("dst_label"),
+        F.col("dst_label"),
         F.lit(None).cast("map<string,string>").alias("props"),
         F.lit(None).cast("long").alias("firstseen"),
         F.lit(int(update_tag)).alias("lastupdated"),
