@@ -355,6 +355,21 @@ class GraphStore:
 
     # ----- MERGE semantics ---------------------------------------------------
 
+    def _stage_batch(self, df: DataFrame, sub: str, schema) -> DataFrame:
+        """Materialize the incoming batch to a staging dir and read it back.
+
+        This is the Iceberg write-path shape — batch data files land first,
+        the MERGE works from files.  It truncates the batch's (possibly
+        enormous) upstream logical plan: the merge joins, the distinct-labels
+        probe, and the final slice write all re-analyze a leaf parquet scan
+        instead of the whole module pipeline, which on a driver-latency-bound
+        host is the difference between O(plan) and O(1) per downstream
+        action.  Staging files are reclaimed by _gc after publish.
+        """
+        path = os.path.join(self.root, "data", "_staging", sub)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.schema(schema).parquet(path)
+
     def upsert(
         self,
         new_nodes: DataFrame | None,
@@ -372,14 +387,12 @@ class GraphStore:
         Implemented as one left join per table over ONLY the touched label
         slices — no collect of data, no per-row work.
         """
-        cached = []
         touched_labels: list[str] = []
         touched_rels: list[str] = []
         nodes_out = edges_out = None
 
         if new_nodes is not None:
-            new_nodes = new_nodes.cache()
-            cached.append(new_nodes)
+            new_nodes = self._stage_batch(new_nodes, "nodes", NODES_SCHEMA)
             touched_labels = [r[0] for r in new_nodes.select("label").distinct().collect()]
             old = self.nodes(labels=touched_labels)
             old_keys = old.select(
@@ -405,8 +418,7 @@ class GraphStore:
             nodes_out = untouched.unionByName(merged_new)
 
         if new_edges is not None:
-            new_edges = new_edges.cache()
-            cached.append(new_edges)
+            new_edges = self._stage_batch(new_edges, "edges", EDGES_SCHEMA)
             touched_rels = [r[0] for r in new_edges.select("rel_label").distinct().collect()]
             old_edges = self.edges(rel_labels=touched_rels)
             old_e = old_edges.select(
@@ -429,13 +441,9 @@ class GraphStore:
             untouched_e = old_edges.join(new_edges.select(*EDGE_KEY), EDGE_KEY, "left_anti")
             edges_out = untouched_e.unionByName(merged_new_e)
 
-        try:
-            return self.commit_partial(
-                nodes_out, edges_out, touched_labels, touched_rels, stage, update_tag, metrics
-            )
-        finally:
-            for df in cached:
-                df.unpersist()
+        return self.commit_partial(
+            nodes_out, edges_out, touched_labels, touched_rels, stage, update_tag, metrics
+        )
 
     def delete(
         self,

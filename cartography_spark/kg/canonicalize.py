@@ -107,8 +107,31 @@ def identity_edges(nodes: DataFrame) -> DataFrame:
 def canonical_mapping(nodes: DataFrame) -> DataFrame:
     """(node_id, canonical_id): every identity-bearing node -> its canonical
     representative (lexicographic min *real* node id of its component; key
-    hubs are excluded from candidacy)."""
-    comps = connected_components(identity_edges(nodes))
+    hubs are excluded from candidacy).
+
+    Fast path: identity edges are (real node)->(key hub) stars.  When every
+    real node touches at most ONE hub, hubs cannot bridge, so each component
+    is exactly one hub + its members — canonicalization is a single
+    groupBy(hub) min, no iterative CC at all (one shuffle instead of
+    O(log n) rounds x 2 shuffles).  The forest check is one cheap agg; any
+    multi-key bridge (a node holding two identity keys) falls back to the
+    general large-star/small-star loop.
+    """
+    edges = identity_edges(nodes)
+    bridge = (
+        edges.groupBy("src")
+        .agg(F.count_distinct("dst").alias("k"))
+        .agg(F.max("k").alias("mx"))
+        .collect()
+    )
+    max_hubs = bridge[0]["mx"] if bridge and bridge[0]["mx"] is not None else 0
+    if max_hubs <= 1:
+        rep = edges.groupBy("dst").agg(F.min("src").alias("canonical_id"))
+        return edges.join(rep, "dst").select(
+            F.col("src").alias("node_id"), "canonical_id"
+        )
+
+    comps = connected_components(edges.select("src", "dst"))
     members = comps.where(~F.col("node").startswith("email:"))
     rep = members.groupBy("component").agg(F.min("node").alias("canonical_id"))
     return members.join(rep, "component").select(

@@ -60,30 +60,30 @@ def link_mentions(
     Output: doc_id, span_idx, offset, mention, mention_kind,
             entity_id, entity_label, score.
     """
-    d = F.broadcast(dims) if broadcast_dims else dims
+    # One join covers both tiers: the case-folded key is a superset match of
+    # the exact one, so joining on lower(mention)=lower(key) and scoring
+    # exact hits inline does the work of two joins in a single pass over the
+    # mention stream (the mention side is the 10^12-row side — never walk it
+    # twice).  max() per (occurrence, entity) keeps exact's 1.0 over 0.9 when
+    # several dictionary keys case-fold together.
+    d = dims.withColumn("key_folded", F.lower(F.col("key")))
+    if broadcast_dims:
+        d = F.broadcast(d)
 
-    exact = mentions.join(
+    joined = mentions.join(
         d,
-        (mentions["mention"] == d["key"]) & (mentions["mention_kind"] == d["key_kind"]),
+        (F.lower(mentions["mention"]) == d["key_folded"])
+        & (mentions["mention_kind"] == d["key_kind"]),
         "inner",
-    ).select(
-        "doc_id", "span_idx", "offset", "mention", "mention_kind",
-        "entity_id", "entity_label", F.lit(1.0).alias("score"),
     )
-
-    d_lower = d.withColumn("key", F.lower(F.col("key")))
-    fuzzy = mentions.join(
-        d_lower,
-        (F.lower(mentions["mention"]) == d_lower["key"])
-        & (mentions["mention_kind"] == d_lower["key_kind"]),
-        "inner",
-    ).select(
-        "doc_id", "span_idx", "offset", "mention", "mention_kind",
-        "entity_id", "entity_label", F.lit(0.9).alias("score"),
-    )
-
     return (
-        exact.unionByName(fuzzy)
+        joined.select(
+            "doc_id", "span_idx", "offset", "mention", "mention_kind",
+            "entity_id", "entity_label",
+            F.when(joined["mention"] == d["key"], F.lit(1.0))
+            .otherwise(F.lit(0.9))
+            .alias("score"),
+        )
         .groupBy(
             "doc_id", "span_idx", "offset", "mention", "mention_kind",
             "entity_id", "entity_label",

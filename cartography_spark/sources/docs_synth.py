@@ -27,11 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cartography_spark.sources.fixtures import _acct, read_table
+from cartography_spark.sources.fixtures import _acct, plan_memo, read_table
 
 SPAN_TYPE = "struct<kind:string,text:string,media_ref:string,offset:int>"
 
 
+@plan_memo
 def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id string, spans array<struct<kind,text,media_ref,offset>>)."""
     d = read_table(spark, sf_dir, "documents")

@@ -27,6 +27,8 @@ key % 10 == 3 — exercising stale-cleanup + firstseen preservation.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,7 +40,35 @@ def _acct(col):
     return F.lpad(col.cast("string"), 12, "0")
 
 
+def plan_memo(fn):
+    """Memoize a pure plan-constructor ``fn(spark, sf_dir, *scalars)``.
+
+    Fixture derivations are deterministic functions of (session, sf_dir,
+    variant): the returned DataFrame is an immutable logical-plan handle, so
+    reusing it is always safe.  A sync plans the same fixtures dozens of
+    times and each construction costs 50-300 ms of driver py4j round-trips;
+    memoization makes every repeat free and lets Spark reuse the analyzed
+    plan + FileIndex.  Keyed on ``id(spark)`` — sessions here are few and
+    process-long-lived (a stopped session's stale entries would fail loudly
+    on first use, never silently).
+    """
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir, *args, **kwargs):
+        key = (id(spark), sf_dir, args, tuple(sorted(kwargs.items())))
+        if key not in cache:
+            cache[key] = fn(spark, sf_dir, *args, **kwargs)
+        return cache[key]
+
+    return wrapper
+
+
+@plan_memo
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan handle, memoized per (session, path) — re-running
+    ``spark.read.parquet`` re-infers the footer schema on the driver each
+    time (~70 ms of py4j latency per call)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -48,6 +78,7 @@ def _variant_filter(df: DataFrame, key_col: str, variant: str) -> DataFrame:
     return df
 
 
+@plan_memo
 def aws_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One AWSAccount per nation.  Columns: id, name."""
     n = read_table(spark, sf_dir, "nation")
@@ -56,6 +87,7 @@ def aws_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def iam_users(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
     """IAM users from customer.  Columns: arn,name,email,userid,path,account_id.
 
@@ -83,6 +115,7 @@ def iam_users(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFram
     )
 
 
+@plan_memo
 def iam_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five IAM groups per nation.  Columns: arn, name, account_id."""
     c = read_table(spark, sf_dir, "customer")
@@ -105,6 +138,7 @@ def iam_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def iam_group_memberships(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
     """user arn -> group arn (each user belongs to its nation's custkey%5 group)."""
     c = _variant_filter(read_table(spark, sf_dir, "customer"), "c_custkey", variant)
@@ -121,6 +155,7 @@ def iam_group_memberships(spark: SparkSession, sf_dir: str, variant: str = "t1")
     )
 
 
+@plan_memo
 def iam_roles(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
     """IAM roles from supplier.  Columns: arn, name, account_id,
     trust_principals array<struct<type string, value string>>.
@@ -148,6 +183,7 @@ def iam_roles(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFram
     )
 
 
+@plan_memo
 def emr_clusters(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
     """EMR clusters from supplier (cf. reference tests/data/aws/emr.py:4-60)."""
     s = _variant_filter(read_table(spark, sf_dir, "supplier"), "s_suppkey", variant)
@@ -166,6 +202,7 @@ def emr_clusters(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataF
     )
 
 
+@plan_memo
 def s3_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20 S3 buckets (p_partkey % 20).  Columns: arn, name, account_id."""
     p = read_table(spark, sf_dir, "part")
@@ -180,6 +217,7 @@ def s3_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def iam_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One inline policy per role.  Columns: policy_id, principal_arn, name."""
     r = iam_roles(spark, sf_dir)
@@ -190,6 +228,7 @@ def iam_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def iam_policy_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy statements with wildcard actions/resources.
 
@@ -239,6 +278,7 @@ def iam_policy_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allow.unionByName(deny)
 
 
+@plan_memo
 def resource_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag mappings on even EMR clusters.
 
@@ -268,6 +308,7 @@ def resource_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def okta_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region")
     return r.select(
@@ -275,6 +316,7 @@ def okta_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def okta_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation team groups + SAML-mapped AWS role groups.
 
@@ -300,6 +342,7 @@ def okta_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return team.unionByName(saml)
 
 
+@plan_memo
 def okta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Even customers are also Okta users; login == the IAM user's email —
     the cross-system identity that canonicalization must merge.
@@ -318,6 +361,7 @@ def okta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def okta_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each okta user joins its nation team group, plus the nation's first
     SAML group when one exists.  Columns: group_id, user_id."""
@@ -339,6 +383,7 @@ def okta_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return team.unionByName(saml)
 
 
+@plan_memo
 def github_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 50th part is a repo.  Columns: id(url), name, fullname."""
     p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 50) == 0)
@@ -349,6 +394,7 @@ def github_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def github_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """requirements.txt lines per repo (reference github/repos.py:296-348
     parses these from text; we derive the already-parsed canonical rows and
@@ -373,6 +419,7 @@ def github_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pinned.unionByName(unpinned)
 
 
+@plan_memo
 def github_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 25th customer has a GitHub handle in UPPERCASE — exercises the
     ignore_case matcher (reference models/core/common.py:25-35).
