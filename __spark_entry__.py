@@ -126,7 +126,7 @@ def _q_kg_resource_edges(spark, sf_dir):
     from cartography_spark.modules.aws_base import account_resource_rel
     from cartography_spark.sources import fixtures as fx
 
-    accounts = compile_nodes(fx.aws_accounts(spark, sf_dir), ACCOUNT_SCHEMA, T1)
+    accounts = compile_nodes(fx.aws_accounts(spark, sf_dir), ACCOUNT_SCHEMA, T1, {"inscope": "true"})
     s3_schema = NodeSchema(
         label="S3Bucket", id=PropertyRef("arn"),
         properties={"name": PropertyRef("name")},
@@ -495,6 +495,189 @@ def _q_events_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_kg_ec2_sg_members(spark, sf_dir):
+    """(EC2Instance)-[:MEMBER_OF_EC2_SECURITY_GROUP]->(EC2SecurityGroup) via
+    the schema compiler, loading ONLY the membership rel
+    (selected_relationships partial-sync path, reference
+    querybuilder.py:307-346)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_INSTANCE_SCHEMA, EC2_SG_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    sgs = compile_nodes(fx.ec2_security_groups(spark, sf_dir), EC2_SG_SCHEMA, T1)
+    edges = compile_edges(
+        fx.ec2_instances(spark, sf_dir),
+        EC2_INSTANCE_SCHEMA,
+        sgs,
+        T1,
+        selected_relationships=["MEMBER_OF_EC2_SECURITY_GROUP"],
+    )
+    return edges.select(
+        F.col("src_id").alias("instance_id"), F.col("dst_id").alias("sg_id")
+    )
+
+
+def _q_kg_ec2_rule_ranges(spark, sf_dir):
+    """(IpRange)-[:MEMBER_OF_IP_RULE]->(IpPermissionInbound) edges."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import IP_RANGE_SCHEMA, IP_RULE_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    rules = fx.ec2_sg_rules(spark, sf_dir)
+    rule_nodes = compile_nodes(rules, IP_RULE_SCHEMA, T1)
+    edges = compile_edges(rules, IP_RANGE_SCHEMA, rule_nodes, T1)
+    return edges.select(F.col("src_id").alias("cidr"), F.col("dst_id").alias("rule_id"))
+
+
+def _q_kg_ec2_assumerole(spark, sf_dir):
+    """aws_ec2_iaminstanceprofile.json dataflow: instance profile suffix ->
+    role, as the per-account equi-join (analysis/jobs.py runs the same
+    store-side)."""
+    from cartography_spark.sources import fixtures as fx
+
+    inst = (
+        fx.ec2_instances(spark, sf_dir)
+        .where(F.col("iaminstanceprofile").isNotNull())
+        .select(
+            "instance_id",
+            "account_id",
+            F.regexp_extract("iaminstanceprofile", r"([^/]+)$", 1).alias("role_name"),
+        )
+    )
+    roles = fx.iam_roles(spark, sf_dir).select(
+        F.col("arn").alias("role_arn"), F.col("account_id"), F.col("name").alias("role_name")
+    )
+    return inst.join(F.broadcast(roles), ["account_id", "role_name"], "inner").select(
+        "instance_id", "role_arn"
+    )
+
+
+def _q_kg_foreign_accounts(spark, sf_dir):
+    """aws_foreign_accounts.json dataflow: accounts reachable from trust
+    policies but outside the sync scope get foreign=true."""
+    from cartography_spark.modules.aws_iam import arn_account
+    from cartography_spark.sources import fixtures as fx
+
+    trusted_accts = (
+        fx.iam_roles(spark, sf_dir)
+        .select(F.explode("trust_principals").alias("p"))
+        .select(arn_account(F.col("p.value")).alias("account_id"))
+        .where(F.col("account_id") != "")
+        .distinct()
+    )
+    inscope = fx.aws_accounts(spark, sf_dir).select(F.col("id").alias("account_id"))
+    return trusted_accts.join(inscope, ["account_id"], "left_anti").select(
+        "account_id", F.lit("true").alias("is_foreign")
+    )
+
+
+def _q_kg_s3_anonymous(spark, sf_dir):
+    """aws_s3acl_analysis.json dataflow: buckets granted to the global
+    groups, with the implied anonymous action list (sorted-distinct JSON)."""
+    from cartography_spark.analysis.jobs import ACL_ACTIONS, GLOBAL_ACL_URIS
+    from cartography_spark.sources import fixtures as fx
+
+    action_map = F.create_map(
+        *[c for perm, acts in ACL_ACTIONS.items() for c in (F.lit(perm), F.lit(acts))]
+    )
+    return (
+        fx.s3_acls(spark, sf_dir)
+        .where(F.col("uri").isin(*GLOBAL_ACL_URIS))
+        .select(
+            "bucket_arn", F.element_at(action_map, F.col("permission")).alias("actions")
+        )
+        .where(F.col("actions").isNotNull())
+        .groupBy("bucket_arn")
+        .agg(
+            F.to_json(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("actions"))))
+            ).alias("anonymous_actions")
+        )
+    )
+
+
+def _q_kg_human_okta(spark, sf_dir):
+    """gsuite_human_link.json analog: (Human)-[:IDENTITY_OKTA]->(OktaUser)
+    on email = login."""
+    from cartography_spark.sources import fixtures as fx
+
+    humans = fx.humans(spark, sf_dir).select("email")
+    okta = fx.okta_users(spark, sf_dir).select(
+        F.col("id").alias("okta_id"), F.col("login").alias("email")
+    )
+    return humans.join(okta, "email", "inner").select("email", "okta_id")
+
+
+def _q_kg_gcp_instances(spark, sf_dir):
+    """(GCPProject)-[:RESOURCE]->(GCPInstance) — the non-AWS sub-resource
+    proves the schema compiler generalizes."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.gcp import GCP_INSTANCE_SCHEMA, GCP_PROJECT_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    projects = compile_nodes(fx.gcp_projects(spark, sf_dir), GCP_PROJECT_SCHEMA, T1)
+    edges = compile_edges(fx.gcp_instances(spark, sf_dir), GCP_INSTANCE_SCHEMA, projects, T1)
+    return edges.select(
+        F.col("src_id").alias("project_id"), F.col("dst_id").alias("instance_id")
+    )
+
+
+def _q_kg_two_tag_roles(spark, sf_dir):
+    """Tenant-scoped cleanup_schema (reference cleanupbuilder.py:107-126):
+    T1/T2 role loads, then cleanup scoped to account 000000000000 ONLY —
+    stale roles of OTHER tenants must survive."""
+    from cartography_spark.core.cleanup import cleanup_schema
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.core.store import GraphStore
+    from cartography_spark.modules.aws_base import sync_accounts
+    from cartography_spark.modules.aws_iam import ROLE_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    root = tempfile.mkdtemp(prefix="twotag_roles_")
+    try:
+        store = GraphStore(spark, root, write_partitions=4)
+        for tag, variant in ((T1, "t1"), (T2, "t2")):
+            sync_accounts(store, fx.aws_accounts(spark, sf_dir), tag)
+            roles = fx.iam_roles(spark, sf_dir, variant).drop("trust_principals")
+            store.upsert(
+                compile_nodes(roles, ROLE_SCHEMA, tag),
+                compile_edges(roles, ROLE_SCHEMA, store.nodes(), tag),
+                "roles",
+                tag,
+            )
+        cleanup_schema(store, ROLE_SCHEMA, T2, "000000000000")
+        out = (
+            store.nodes()
+            .where(F.col("label") == "AWSRole")
+            .select("id", "firstseen", "lastupdated")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_kg_permission_can_list(spark, sf_dir):
+    """Second RPR mapping (CAN_LIST) straight from the config file —
+    permission edges are data-driven, not hardcoded (reference
+    permission_relationships.yaml)."""
+    from cartography_spark.modules.permissions import (
+        evaluate_permissions,
+        load_permission_mappings,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    m = next(
+        x for x in load_permission_mappings() if x["relationship_name"] == "CAN_LIST"
+    )
+    return evaluate_permissions(
+        fx.iam_policies(spark, sf_dir),
+        fx.iam_policy_statements(spark, sf_dir),
+        fx.s3_buckets(spark, sf_dir),
+        m["permissions"][0],
+    ).select("principal_arn", "resource_arn")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_accounts": _q_kg_accounts,
@@ -507,7 +690,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_permission_can_read": _q_kg_permission_can_read,
         "kg_sts_assumerole": _q_kg_sts_assumerole,
         "kg_two_tag_users": _q_kg_two_tag_users,
+        "kg_two_tag_roles": _q_kg_two_tag_roles,
         "kg_orphan_principals": _q_kg_orphan_principals,
+        "kg_ec2_sg_members": _q_kg_ec2_sg_members,
+        "kg_ec2_rule_ranges": _q_kg_ec2_rule_ranges,
+        "kg_ec2_assumerole": _q_kg_ec2_assumerole,
+        "kg_foreign_accounts": _q_kg_foreign_accounts,
+        "kg_s3_anonymous": _q_kg_s3_anonymous,
+        "kg_human_okta": _q_kg_human_okta,
+        "kg_gcp_instances": _q_kg_gcp_instances,
+        "kg_permission_can_list": _q_kg_permission_can_list,
         "kg_spans": _q_kg_spans,
         "kg_mentions": _q_kg_mentions,
         "kg_entity_links": _q_kg_entity_links,
@@ -607,6 +799,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {role_arn_s}, 'Service', 'ec2.amazonaws.com'
             FROM supplier s WHERE s.s_suppkey % 3 = 0
+            UNION ALL
+            SELECT {role_arn_s}, 'AWS',
+                   'arn:aws:iam::' || {ACCT.format(k='25 + (s.s_suppkey % 3)')} || ':root'
+            FROM supplier s WHERE s.s_suppkey % 10 = 9
         """,
         "kg_tagged_edges": f"""
             SELECT {emr_arn_s} AS resource_arn,
@@ -639,6 +835,15 @@ def oracle_sql() -> dict[str, str]:
                    OR b.arn LIKE replace('arn:aws:s3:::bucket-' || CAST(s.s_suppkey % 20 AS VARCHAR) || '*', '*', '%'))
               AND NOT (s.s_suppkey % 7 = 0 AND b.arn LIKE 'arn:aws:s3:::bucket-3%')
         """,
+        "kg_permission_can_list": f"""
+            WITH b AS ({SQL_BUCKETS})
+            SELECT {role_arn_s} AS principal_arn, b.arn AS resource_arn
+            FROM supplier s CROSS JOIN b
+            WHERE s.s_suppkey % 2 = 0
+              AND (s.s_suppkey % 5 = 0
+                   OR b.arn LIKE replace('arn:aws:s3:::bucket-' || CAST(s.s_suppkey % 20 AS VARCHAR) || '*', '*', '%'))
+              AND NOT (s.s_suppkey % 7 = 0 AND b.arn LIKE 'arn:aws:s3:::bucket-3%')
+        """,
         "kg_sts_assumerole": f"""
             SELECT 'arn:aws:iam::' || {ACCT.format(k='p.s_nationkey')} || ':role/role-' || CAST(p.s_suppkey AS VARCHAR) AS principal_arn,
                    {role_arn_s} AS role_arn
@@ -656,6 +861,64 @@ def oracle_sql() -> dict[str, str]:
         "kg_orphan_principals": """
             SELECT DISTINCT 'ec2.amazonaws.com' AS orphan_principal
             FROM supplier WHERE s_suppkey % 3 = 0
+        """,
+        "kg_two_tag_roles": f"""
+            SELECT {role_arn_s} AS id,
+                   {T1} AS firstseen,
+                   CASE WHEN s.s_suppkey % 10 = 7 THEN {T1} ELSE {T2} END AS lastupdated
+            FROM supplier s
+            WHERE NOT (s.s_suppkey % 10 = 7 AND s.s_nationkey = 0)
+        """,
+        "kg_ec2_sg_members": """
+            WITH sg AS (SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id
+                        FROM part WHERE p_partkey % 10 = 0),
+            i AS (
+              SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                     'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id
+              FROM supplier
+            )
+            SELECT i.instance_id, i.sg_id FROM i JOIN sg USING (sg_id)
+        """,
+        "kg_ec2_rule_ranges": """
+            SELECT DISTINCT
+                   CASE WHEN p_partkey % 4 = 0 THEN '0.0.0.0/0' ELSE '10.0.0.0/8' END AS cidr,
+                   'sg-' || CAST(p_partkey AS VARCHAR) || '/inbound/tcp/' ||
+                   CAST((p_size % 10) * 100 AS VARCHAR) AS rule_id
+            FROM part WHERE p_partkey % 10 = 0
+        """,
+        "kg_ec2_assumerole": f"""
+            SELECT 'i-' || CAST(s.s_suppkey AS VARCHAR) AS instance_id,
+                   {role_arn_s} AS role_arn
+            FROM supplier s WHERE s.s_suppkey % 2 = 0
+        """,
+        "kg_foreign_accounts": f"""
+            SELECT DISTINCT {ACCT.format(k='25 + (s_suppkey % 3)')} AS account_id,
+                   'true' AS is_foreign
+            FROM supplier WHERE s_suppkey % 10 = 9
+        """,
+        "kg_s3_anonymous": """
+            SELECT 'arn:aws:s3:::bucket-' || CAST(b AS VARCHAR) AS bucket_arn,
+                   CASE b % 4
+                     WHEN 0 THEN '["s3:ListBucket","s3:ListBucketMultipartUploads","s3:ListBucketVersions"]'
+                     WHEN 1 THEN '["s3:PutObject"]'
+                     WHEN 2 THEN '["s3:DeleteObject","s3:DeleteObjectVersion","s3:ListBucket","s3:ListBucketMultipartUploads","s3:ListBucketVersions","s3:PutBucketAcl","s3:PutObject"]'
+                     ELSE '["s3:GetBucketAcl"]'
+                   END AS anonymous_actions
+            FROM (SELECT DISTINCT p_partkey % 20 AS b FROM part)
+            WHERE b % 3 = 0
+        """,
+        "kg_human_okta": """
+            SELECT 'user-' || CAST(c_custkey AS VARCHAR) || '@corp-' ||
+                   CAST(c_nationkey AS VARCHAR) || '.example.com' AS email,
+                   'okta-' || CAST(c_custkey AS VARCHAR) AS okta_id
+            FROM customer WHERE c_custkey % 6 = 0
+        """,
+        "kg_gcp_instances": """
+            SELECT 'projects/proj-' || CAST(CAST(p_partkey / 40 AS BIGINT) % 25 AS VARCHAR) AS project_id,
+                   'projects/proj-' || CAST(CAST(p_partkey / 40 AS BIGINT) % 25 AS VARCHAR) ||
+                   '/zones/us-east1-b/instances/inst-' || CAST(p_partkey AS VARCHAR) AS instance_id
+            FROM part WHERE p_partkey % 40 = 0
         """,
         "kg_spans": f"""
             WITH d AS (SELECT *,

@@ -30,31 +30,18 @@ PORT_BIN = 100
 
 
 def security_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 10) == 0)
-    return p.select(
-        F.concat(F.lit("sg-"), F.col("p_partkey").cast("string")).alias("sg_id"),
-        ((F.col("p_size") % 10) * 100).cast("long").alias("fromport"),
-        ((F.col("p_size") % 10) * 100 + 399).cast("long").alias("toport"),
-        F.when((F.col("p_partkey") % 4) == 0, F.lit("0.0.0.0/0"))
-        .otherwise(F.lit("10.0.0.0/8"))
-        .alias("cidr"),
-    )
+    """Rule rows in the exposure pass's shape (single source of truth for the
+    formulas is fixtures.ec2_sg_rules — the EC2 module loads the same rows)."""
+    from cartography_spark.sources.fixtures import ec2_sg_rules
+
+    return ec2_sg_rules(spark, sf_dir).select("sg_id", "fromport", "toport", "cidr")
 
 
 def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = read_table(spark, sf_dir, "supplier")
-    n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
-    s = s.crossJoin(F.broadcast(n_parts))
-    # sg keys are multiples of 10 in [0, n_part); map suppliers onto them
-    from cartography_spark.sources.fixtures import _acct
+    from cartography_spark.sources.fixtures import ec2_instances
 
-    return s.select(
-        F.concat(F.lit("i-"), F.col("s_suppkey").cast("string")).alias("instance_id"),
-        F.concat(
-            F.lit("sg-"), (((F.col("s_suppkey") * 10) % F.col("n_part")) - (((F.col("s_suppkey") * 10) % F.col("n_part")) % 10)).cast("string")
-        ).alias("sg_id"),
-        ((F.col("s_suppkey") % 10) * 100 + 50).cast("long").alias("listener_port"),
-        _acct(F.col("s_nationkey")).alias("account_id"),
+    return ec2_instances(spark, sf_dir).select(
+        "instance_id", "sg_id", "listener_port", "account_id"
     )
 
 

@@ -24,10 +24,22 @@ class AnalysisJob:
 
 
 def default_jobs() -> list[AnalysisJob]:
+    """Mirrors the reference's packaged job set
+    (data/jobs/analysis/*.json, run by intel/analysis.py)."""
     from cartography_spark.analysis.exposure import mark_exposure
+    from cartography_spark.analysis.jobs import (
+        ec2_iam_instanceprofiles,
+        link_humans,
+        mark_foreign_accounts,
+        mark_s3_anonymous,
+    )
 
     return [
         AnalysisJob("aws_asset_exposure", mark_exposure),
+        AnalysisJob("aws_foreign_accounts", mark_foreign_accounts),
+        AnalysisJob("aws_s3acl", mark_s3_anonymous),
+        AnalysisJob("aws_ec2_iaminstanceprofile", ec2_iam_instanceprofiles),
+        AnalysisJob("human_link", link_humans),
     ]
 
 

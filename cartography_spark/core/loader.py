@@ -183,6 +183,7 @@ def compile_edges(
     update_tag: int,
     kwargs: Mapping[str, object] | None = None,
     broadcast_targets: bool = True,
+    selected_relationships: "set | frozenset | tuple | list | None" = None,
 ) -> DataFrame | None:
     """Produce canonical edge rows for every relationship a schema declares.
 
@@ -192,12 +193,32 @@ def compile_edges(
     result is unioned (the reference wraps each rel in ``CALL {} UNION``,
     querybuilder.py:259-291, for exactly this independence).
 
+    ``selected_relationships`` loads a SUBSET of the declared rels (partial
+    syncs): pass RelSchema objects and/or rel_label strings.  Selecting a
+    relationship the schema does not declare raises, and the sub-resource
+    rel stays selectable — both mirroring reference
+    querybuilder.py:307-346 (_filter_selected_relationships).
+
     Scale: target id spaces are dimension-sized (accounts, orgs, groups) —
     broadcast by default; for genuinely large targets pass
     ``broadcast_targets=False`` and let AQE pick the strategy.
     """
     kwargs = kwargs or {}
     rels = schema.all_rels()
+    if selected_relationships is not None:
+        wanted = {
+            r.rel_label if isinstance(r, RelSchema) else str(r)
+            for r in selected_relationships
+        }
+        declared = {r.rel_label for r in rels}
+        unknown = wanted - declared
+        if unknown:
+            raise ValueError(
+                f"selected_relationships {sorted(unknown)} not declared on "
+                f"'{schema.label}' (declared: {sorted(declared)}); reference "
+                "querybuilder.py:323-339 raises the same"
+            )
+        rels = tuple(r for r in rels if r.rel_label in wanted)
     if not rels:
         return None
 

@@ -77,7 +77,7 @@ def build_graph(
 
     tag = update_tag
     node_parts = [
-        compile_nodes(accounts, ACCOUNT_SCHEMA, tag),
+        compile_nodes(accounts, ACCOUNT_SCHEMA, tag, {"inscope": "true"}),
         compile_nodes(users, USER_SCHEMA, tag),
         compile_nodes(groups, GROUP_SCHEMA, tag),
         compile_nodes(roles.drop("trust_principals"), ROLE_SCHEMA, tag),
@@ -166,7 +166,7 @@ def build_graph(
     nodes = nodes.repartition(nparts, "label", "id")
 
     # ---- edges --------------------------------------------------------------
-    acct_node_df = compile_nodes(accounts, ACCOUNT_SCHEMA, tag)
+    acct_node_df = compile_nodes(accounts, ACCOUNT_SCHEMA, tag, {"inscope": "true"})
     group_node_df = compile_nodes(groups, GROUP_SCHEMA, tag)
 
     edge_parts = [

@@ -17,8 +17,12 @@ from cartography_spark.core.store import GraphStore
 from cartography_spark.kg.materialize import sync_documents
 from cartography_spark.modules import aws_iam, aws_tags, okta, permissions
 from cartography_spark.modules.aws_base import sync_accounts
+from cartography_spark.modules.aws_ec2 import sync_ec2
 from cartography_spark.modules.aws_emr import sync_emr
+from cartography_spark.modules.aws_s3 import sync_s3
+from cartography_spark.modules.gcp import sync_gcp
 from cartography_spark.modules.github import sync_github
+from cartography_spark.modules.hr import sync_humans
 from cartography_spark.sources import fixtures as fx
 from cartography_spark.sources.docs_synth import interleaved_documents
 
@@ -68,49 +72,30 @@ def run_sync(
     aws_iam.sync_memberships(store, memberships, update_tag)
     sync_emr(store, clusters, update_tag)
 
-    # S3 buckets (simple asset family, reused by the permission theta-join)
-    if not store.stage_done("aws:s3", update_tag):
-        from cartography_spark.core.loader import compile_edges, compile_nodes
-        from cartography_spark.core.model import NodeSchema, PropertyRef
-        from cartography_spark.modules.aws_base import account_resource_rel
+    # S3 buckets + ACL grants (buckets reused by the permission theta-join;
+    # ACLs drive the aws_s3acl analysis)
+    sync_s3(store, buckets, fx.s3_acls(spark, sf_dir), update_tag)
 
-        s3_schema = NodeSchema(
-            label="S3Bucket",
-            id=PropertyRef("arn"),
-            properties={"name": PropertyRef("name"), "account_id": PropertyRef("account_id")},
-            sub_resource_rel=account_resource_rel(),
-        )
-        store.upsert(
-            compile_nodes(buckets, s3_schema, update_tag),
-            compile_edges(buckets, s3_schema, store.nodes(), update_tag),
-            "aws:s3",
-            update_tag,
-        )
+    # EC2: security groups, instances, inbound rules, IP ranges (exposure +
+    # iaminstanceprofile analyses walk these)
+    sync_ec2(
+        store,
+        fx.ec2_instances(spark, sf_dir, variant),
+        fx.ec2_security_groups(spark, sf_dir),
+        fx.ec2_sg_rules(spark, sf_dir),
+        update_tag,
+    )
 
-    # EC2 instances (analysis target for the exposure pass)
-    if not store.stage_done("aws:ec2", update_tag):
-        from cartography_spark.analysis.exposure import instances
-        from cartography_spark.core.loader import compile_edges, compile_nodes
-        from cartography_spark.core.model import NodeSchema, PropertyRef
-        from cartography_spark.modules.aws_base import account_resource_rel
+    # GCP: the non-AWS provider (schema compiler generality)
+    sync_gcp(
+        store,
+        fx.gcp_projects(spark, sf_dir),
+        fx.gcp_instances(spark, sf_dir),
+        update_tag,
+    )
 
-        ec2_schema = NodeSchema(
-            label="EC2Instance",
-            id=PropertyRef("instance_id"),
-            properties={
-                "sg_id": PropertyRef("sg_id"),
-                "listener_port": PropertyRef("listener_port"),
-                "account_id": PropertyRef("account_id"),
-            },
-            sub_resource_rel=account_resource_rel(),
-        )
-        inst = instances(spark, sf_dir)
-        store.upsert(
-            compile_nodes(inst, ec2_schema, update_tag),
-            compile_edges(inst, ec2_schema, store.nodes(), update_tag),
-            "aws:ec2",
-            update_tag,
-        )
+    # HR feed: Human nodes (human_link analysis attaches Okta identities)
+    sync_humans(store, fx.humans(spark, sf_dir), update_tag)
 
     okta.sync_okta(
         store,
@@ -132,8 +117,9 @@ def run_sync(
         )
 
     # deferred stages (reference defers rpr + tags to the end,
-    # intel/aws/__init__.py:62-76)
-    permissions.sync_permission_edges(store, policies, statements, update_tag)
+    # intel/aws/__init__.py:62-76); permission edges come from the
+    # user-editable mapping file (data/permission_relationships.json)
+    permissions.sync_permission_mappings(store, policies, statements, update_tag)
     permissions.sync_sts_assumerole(store, policies, statements, update_tag)
     aws_tags.sync_tags(store, tags, update_tag)
 

@@ -22,7 +22,11 @@ from cartography_spark.core.store import GraphStore
 ACCOUNT_SCHEMA = NodeSchema(
     label="AWSAccount",
     id=PropertyRef("id"),
-    properties={"name": PropertyRef("name")},
+    # inscope marks accounts the sync was CONFIGURED with (reference
+    # intel/aws/__init__.py:283 sets inscope on every synced account);
+    # accounts synthesized from trust-policy ARNs lack it, which is what the
+    # aws_foreign_accounts analysis keys on.
+    properties={"name": PropertyRef("name"), "inscope": PropertyRef("inscope", set_in_kwargs=True)},
 )
 
 
@@ -41,5 +45,5 @@ def sync_accounts(store: GraphStore, accounts: DataFrame, update_tag: int) -> No
     stage = "aws:accounts"
     if store.stage_done(stage, update_tag):
         return
-    nodes = compile_nodes(accounts, ACCOUNT_SCHEMA, update_tag)
+    nodes = compile_nodes(accounts, ACCOUNT_SCHEMA, update_tag, {"inscope": "true"})
     store.upsert(nodes, None, stage, update_tag)

@@ -23,6 +23,9 @@ and a resource match within the same statement.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -161,6 +164,53 @@ def evaluate_permissions(
     )
 
 
+DEFAULT_RPR_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "permission_relationships.json",
+)
+
+
+def load_permission_mappings(path: str | None = None) -> list[dict]:
+    """User-editable permission->relationship mapping list.
+
+    Parity: reference permission_relationships.py:284-305
+    (parse_permission_relationships_file) loads
+    permission_relationships.yaml rows of
+    {permissions, target_label, relationship_name}; same contract here in
+    JSON.  Validation mirrors the reference's required-field check
+    (permission_relationships.py:257-281).
+    """
+    with open(path or DEFAULT_RPR_FILE) as f:
+        mappings = json.load(f)
+    for m in mappings:
+        if not all(k in m for k in ("permissions", "target_label", "relationship_name")):
+            raise ValueError(f"invalid permission mapping: {m}")
+    return mappings
+
+
+def sync_permission_mappings(
+    store: GraphStore,
+    policies: DataFrame,
+    statements: DataFrame,
+    update_tag: int,
+    mappings: list[dict] | None = None,
+) -> None:
+    """Run every configured permission mapping (reference
+    permission_relationships.py:308-345 sync loop)."""
+    for m in mappings if mappings is not None else load_permission_mappings():
+        for permission in m["permissions"]:
+            sync_permission_edges(
+                store,
+                policies,
+                statements,
+                update_tag,
+                permission=permission,
+                target_label=m["target_label"],
+                rel_label=m["relationship_name"],
+            )
+
+
 def sync_permission_edges(
     store: GraphStore,
     policies: DataFrame,
@@ -170,8 +220,7 @@ def sync_permission_edges(
     target_label: str = "S3Bucket",
     rel_label: str = "CAN_READ",
 ) -> None:
-    """Materialize permission edges (reference permission_relationships.yaml
-    drives rel_label/permission pairs the same way)."""
+    """Materialize permission edges for one (permission, target, rel) row."""
     stage = f"aws:permissions:{rel_label}"
     if store.stage_done(stage, update_tag):
         return

@@ -162,7 +162,10 @@ def iam_roles(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFram
 
     Every role trusts one cross-account root principal; every third also
     trusts the EC2 service principal (mirrors the flattened
-    AssumeRolePolicyDocument of reference iam.py:303-315).
+    AssumeRolePolicyDocument of reference iam.py:303-315); every tenth
+    (key % 10 == 9) additionally trusts a root principal in an account
+    OUTSIDE the 25-account sync scope (accounts 25-27) — the positives for
+    the aws_foreign_accounts analysis.
     """
     s = _variant_filter(read_table(spark, sf_dir, "supplier"), "s_suppkey", variant)
     spn = F.concat(
@@ -170,6 +173,13 @@ def iam_roles(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFram
     )
     aws_p = F.struct(F.lit("AWS").alias("type"), spn.alias("value"))
     svc_p = F.struct(F.lit("Service").alias("type"), F.lit("ec2.amazonaws.com").alias("value"))
+    foreign_spn = F.concat(
+        F.lit("arn:aws:iam::"), _acct(F.lit(25) + (F.col("s_suppkey") % 3)), F.lit(":root")
+    )
+    foreign_p = F.struct(F.lit("AWS").alias("type"), foreign_spn.alias("value"))
+    base = F.when((F.col("s_suppkey") % 3) == 0, F.array(aws_p, svc_p)).otherwise(
+        F.array(aws_p)
+    )
     return s.select(
         F.concat(
             F.lit("arn:aws:iam::"), _acct(F.col("s_nationkey")), F.lit(":role/role-"),
@@ -177,8 +187,8 @@ def iam_roles(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFram
         ).alias("arn"),
         F.concat(F.lit("role-"), F.col("s_suppkey").cast("string")).alias("name"),
         _acct(F.col("s_nationkey")).alias("account_id"),
-        F.when((F.col("s_suppkey") % 3) == 0, F.array(aws_p, svc_p))
-        .otherwise(F.array(aws_p))
+        F.when((F.col("s_suppkey") % 10) == 9, F.concat(base, F.array(foreign_p)))
+        .otherwise(base)
         .alias("trust_principals"),
     )
 
@@ -428,4 +438,159 @@ def github_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.concat(F.lit("https://github.com/USER-"), F.col("c_custkey").cast("string")).alias("id"),
         F.concat(F.lit("USER-"), F.col("c_custkey").cast("string")).alias("username"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth: EC2, S3 ACLs, GCP, Humans (formulas mirrored in oracle SQL)
+#
+#   sg id            = sg-{p_partkey}                       (p_partkey % 10 == 0)
+#   sg account       = ACCT((p_partkey / 10) % 25)
+#   sg rule id       = {sg_id}/inbound/tcp/{fromport}
+#   instance profile = arn:aws:iam::ACCT(s_nationkey):instance-profile/role-{s_suppkey}
+#                                                           (s_suppkey % 2 == 0)
+#   s3 global acl    = buckets with b % 3 == 0; uri AllUsers (b%2==0) else
+#                      AuthenticatedUsers; permission by b % 4
+#   human            = customers with c_custkey % 3 == 0 (email key)
+#   gcp project      = projects/proj-{n_nationkey}
+#   gcp instance     = inst-{p_partkey} in proj-{(p_partkey/40) % 25}
+#                                                           (p_partkey % 40 == 0)
+#   foreign trust    = roles with s_suppkey % 10 == 9 also trust
+#                      arn:aws:iam::ACCT(25 + s_suppkey % 3):root (accounts
+#                      25-27 are outside the 25-account sync scope ->
+#                      aws_foreign_accounts analysis positives)
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def ec2_security_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EC2 security groups (same population as the exposure analysis rules).
+    Columns: sg_id, name, account_id."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 10) == 0)
+    return p.select(
+        F.concat(F.lit("sg-"), F.col("p_partkey").cast("string")).alias("sg_id"),
+        F.concat(F.lit("secgroup-"), F.col("p_partkey").cast("string")).alias("name"),
+        _acct((F.col("p_partkey") / 10).cast("long") % 25).alias("account_id"),
+    )
+
+
+@plan_memo
+def ec2_sg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound rules, one per security group (reference IpPermissionInbound,
+    intel/aws/ec2/security_groups.py).  Columns: rule_id, sg_id, protocol,
+    fromport, toport, cidr."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 10) == 0)
+    fromport = ((F.col("p_size") % 10) * 100).cast("long")
+    return p.select(
+        F.concat(
+            F.lit("sg-"), F.col("p_partkey").cast("string"),
+            F.lit("/inbound/tcp/"), fromport.cast("string"),
+        ).alias("rule_id"),
+        F.concat(F.lit("sg-"), F.col("p_partkey").cast("string")).alias("sg_id"),
+        F.lit("tcp").alias("protocol"),
+        fromport.alias("fromport"),
+        (fromport + 399).alias("toport"),
+        F.when((F.col("p_partkey") % 4) == 0, F.lit("0.0.0.0/0"))
+        .otherwise(F.lit("10.0.0.0/8"))
+        .alias("cidr"),
+    )
+
+
+@plan_memo
+def ec2_instances(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
+    """EC2 instances from supplier; sg membership maps onto the part-derived
+    sg key space; even instances carry an IAM instance profile (drives the
+    aws_ec2_iaminstanceprofile analysis).  Columns: instance_id, sg_id,
+    listener_port, account_id, iaminstanceprofile."""
+    s = _variant_filter(read_table(spark, sf_dir, "supplier"), "s_suppkey", variant)
+    n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
+    s = s.crossJoin(F.broadcast(n_parts))
+    sg_key = (F.col("s_suppkey") * 10) % F.col("n_part")
+    return s.select(
+        F.concat(F.lit("i-"), F.col("s_suppkey").cast("string")).alias("instance_id"),
+        F.concat(F.lit("sg-"), (sg_key - (sg_key % 10)).cast("string")).alias("sg_id"),
+        ((F.col("s_suppkey") % 10) * 100 + 50).cast("long").alias("listener_port"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+        F.when(
+            (F.col("s_suppkey") % 2) == 0,
+            F.concat(
+                F.lit("arn:aws:iam::"), _acct(F.col("s_nationkey")),
+                F.lit(":instance-profile/role-"), F.col("s_suppkey").cast("string"),
+            ),
+        ).alias("iaminstanceprofile"),
+    )
+
+
+@plan_memo
+def s3_acls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket ACL grants (reference intel/aws/s3.py parse_acl).  Every bucket
+    has an owner FULL_CONTROL grant; every third bucket also has one global
+    grant (AllUsers/AuthenticatedUsers) whose permission cycles by b % 4 —
+    at most ONE global grant per bucket keeps the anonymous_actions list
+    deterministic.  Columns: acl_id, bucket_arn, uri, permission."""
+    p = read_table(spark, sf_dir, "part")
+    b = p.select((F.col("p_partkey") % 20).alias("b")).distinct()
+    arn = F.concat(F.lit("arn:aws:s3:::bucket-"), F.col("b").cast("string"))
+    owner = b.select(
+        F.concat(arn, F.lit("/acl/owner")).alias("acl_id"),
+        arn.alias("bucket_arn"),
+        F.lit(None).cast("string").alias("uri"),
+        F.lit("FULL_CONTROL").alias("permission"),
+    )
+    glob = b.where((F.col("b") % 3) == 0).select(
+        F.concat(arn, F.lit("/acl/global")).alias("acl_id"),
+        arn.alias("bucket_arn"),
+        F.when(
+            (F.col("b") % 2) == 0,
+            F.lit("http://acs.amazonaws.com/groups/global/AllUsers"),
+        )
+        .otherwise(F.lit("http://acs.amazonaws.com/groups/global/AuthenticatedUsers"))
+        .alias("uri"),
+        F.element_at(
+            F.array(F.lit("READ"), F.lit("WRITE"), F.lit("FULL_CONTROL"), F.lit("READ_ACP")),
+            (F.col("b") % 4).cast("int") + 1,
+        ).alias("permission"),
+    )
+    return owner.unionByName(glob)
+
+
+@plan_memo
+def humans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HR-feed employees (the reference's Human nodes, linked to identity
+    providers by gsuite_human_link.json).  Columns: email, name."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 3) == 0)
+    return c.select(
+        F.concat(
+            F.lit("user-"), F.col("c_custkey").cast("string"), F.lit("@corp-"),
+            F.col("c_nationkey").cast("string"), F.lit(".example.com"),
+        ).alias("email"),
+        F.concat(F.lit("Human "), F.col("c_custkey").cast("string")).alias("name"),
+    )
+
+
+@plan_memo
+def gcp_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP projects, one per nation.  Columns: project_id, display_name."""
+    n = read_table(spark, sf_dir, "nation")
+    return n.select(
+        F.concat(F.lit("projects/proj-"), F.col("n_nationkey").cast("string")).alias("project_id"),
+        F.concat(F.lit("proj-"), F.col("n_name")).alias("display_name"),
+    )
+
+
+@plan_memo
+def gcp_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCE instances (reference intel/gcp/compute.py:183-221 transform shape:
+    partial_uri self-link ids).  Columns: instance_id, name, project_id, zone."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 40) == 0)
+    proj = F.concat(
+        F.lit("projects/proj-"), ((F.col("p_partkey") / 40).cast("long") % 25).cast("string")
+    )
+    return p.select(
+        F.concat(
+            proj, F.lit("/zones/us-east1-b/instances/inst-"), F.col("p_partkey").cast("string")
+        ).alias("instance_id"),
+        F.concat(F.lit("inst-"), F.col("p_partkey").cast("string")).alias("name"),
+        proj.alias("project_id"),
+        F.lit("us-east1-b").alias("zone"),
     )
