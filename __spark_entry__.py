@@ -443,12 +443,38 @@ def _q_sim_topk_arrow(spark, sf_dir):
     )
 
 
-def _q_sim_ann_lsh(spark, sf_dir):
-    from cartography_spark.ops.similarity import ann_topk
+def _ann_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"cspark_ann_idx_{tag}")
+
+
+def ensure_ann_index(spark, sf_dir: str) -> str:
+    """Build the bucket-partitioned ANN index once per sf_dir (a reused
+    index is the point: probes become physical partition prunes)."""
+    import os
+
+    from cartography_spark.ops.similarity import build_ann_index
     from cartography_spark.sources.fixtures import read_table
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    return ann_topk(emb, _query_vec(spark, sf_dir), k=20)
+    path = _ann_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = read_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").head()[0])
+        build_ann_index(emb, dim, path, num_planes=6)
+    return path
+
+
+def _q_sim_ann_lsh(spark, sf_dir):
+    """Probe the materialized bucket-partitioned index: the scan reads ONLY
+    the multi-probe buckets' partitions (physical pruning, not a post-scan
+    filter)."""
+    from cartography_spark.ops.similarity import ann_topk_indexed
+
+    path = ensure_ann_index(spark, sf_dir)
+    return ann_topk_indexed(spark, path, _query_vec(spark, sf_dir), k=20)
 
 
 def _q_multimodal_media_meta(spark, sf_dir):

@@ -48,6 +48,13 @@ def main():
     ]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # one-time ANN index build (a materialized artifact like the tables
+    # themselves — probes are the operation being measured; build cost is
+    # reported separately as ann_index_build)
+    t0 = time.time()
+    entrymod.ensure_ann_index(spark, sf_dir)
+    ann_build = round(time.time() - t0, 3)
+
     def timed(name, fn):
         t0 = time.time()
         fn()
@@ -83,6 +90,7 @@ def main():
     ]:
         timed(name, lambda n=name: run_count(qs[n](spark, sf_dir)))
 
+    timings["ann_index_build"] = ann_build
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["docs_pipeline"], 1) if timings.get("docs_pipeline") else None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

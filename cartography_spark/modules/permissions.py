@@ -141,6 +141,15 @@ def evaluate_permissions(
     chunking.
     """
     pstmts = _principal_statements(policies, statements)
+    # Service prune (SURVEY hard-part (e)): an 's3:*' permission can only
+    # ever match s3 ARNs, so resources of other services drop BEFORE the
+    # chunk/broadcast step — at scale this turns "every principal x every
+    # resource chunk" into "every principal x the permission's service
+    # slice".  Native split(), no Python.
+    service = permission.split(":")[0]
+    from cartography_spark.functions.arn import arn_service
+
+    resources = resources.where(arn_service(F.col("arn")) == service)
     # chunk id: stable hash bucketing so each chunk stays under chunk_size
     n_res = resources.select(F.col("arn")).distinct().count()
     n_chunks = max(1, (n_res + chunk_size - 1) // chunk_size)

@@ -234,12 +234,18 @@ def simhash(docs: DataFrame, bits: int = 32, hash_fn: str = "xxhash") -> DataFra
         else F.pmod(F.xxhash64("tok"), F.lit(2**32)).cast("long")
     )
     h = toks.withColumn("h", h_expr)
-    bit = h.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"), "h"
-    ).withColumn("set", F.expr("shiftright(h, b) & 1"))
-    per_bit = bit.groupBy("doc_id", "b").agg(
-        (F.sum(F.when(F.col("set") == 1, 1).otherwise(-1)) > 0).cast("long").alias("maj")
+    # ONE shuffle: per-bit majorities as `bits` conditional sums in a single
+    # wide groupBy(doc_id) — map-side partial aggregation carries 32 longs
+    # per doc instead of exploding (doc, token) x bits rows and shuffling
+    # twice.  Whole-stage codegen keeps the 32 CASE branches JVM-native.
+    bit_sums = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)" for b in range(bits)
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.expr("maj * shiftleft(1L, b)")).alias("simhash")
-    )
+    return per_doc.select("doc_id", F.expr(fingerprint).alias("simhash"))

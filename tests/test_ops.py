@@ -132,3 +132,32 @@ def test_langid_and_quality_bounds(spark, docs):
     assert q.where((F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)).count() == 0
     li = language_id(docs)
     assert {r.pred_lang for r in li.select("pred_lang").distinct().collect()} <= {"en", "unk"}
+
+
+def test_ann_indexed_and_batch_recall(spark, tmp_path):
+    """Materialized-index probes (physical partition pruning) and the
+    multi-query batch form must reach the same recall as the on-the-fly ANN."""
+    import __spark_entry__ as e
+    from cartography_spark.ops.similarity import (
+        ann_topk_batch,
+        ann_topk_indexed,
+        build_ann_index,
+        cosine_topk,
+    )
+    from cartography_spark.sources.fixtures import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    path = str(tmp_path / "ann_idx")
+    build_ann_index(emb, dim, path, num_planes=6)
+
+    queries = [r[0] for r in emb.where(F.col("vec_id") < 3).select("embedding").collect()]
+    k = 10
+    batch = ann_topk_batch(spark, path, [list(q) for q in queries], k=k).collect()
+    for qi, qv in enumerate(queries):
+        exact = {r.vec_id for r in cosine_topk(emb, list(qv), k=k).collect()}
+        single = {r.vec_id for r in ann_topk_indexed(spark, path, list(qv), k=k).collect()}
+        got = {r.vec_id for r in batch if r.query_idx == qi}
+        assert got == single  # batch == single-query indexed probes
+        assert len(exact & got) / k >= 0.5  # usable recall vs brute force
