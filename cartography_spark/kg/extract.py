@@ -54,57 +54,64 @@ def detect_mentions_native(spans: DataFrame) -> DataFrame:
 
 
 def detect_mentions_arrow(spans: DataFrame) -> DataFrame:
-    """Arrow-batched extractor: one pandas UDF call per record batch.
+    """Arrow-batched extractor: one mapInArrow call per record batch.
 
-    Emits an array of (mention, kind) structs per span, exploded JVM-side —
-    so the Python boundary is crossed once per batch, never per row/token.
+    Tokenization, classification, and filtering all run in Arrow C++
+    kernels (``pyarrow.compute`` split/starts_with/match_substring) with
+    arena allocation — the Python boundary is crossed once per batch and no
+    per-token Python objects are ever created (a pandas-UDF
+    ``re.finditer`` loop measures allocation-bound and refuses to scale
+    with cores).  Token<->span alignment uses the ListArray offsets
+    (np.repeat over value lengths).
     """
-    import pyspark.sql.types as T
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    out_type = T.ArrayType(
-        T.StructType(
-            [
-                T.StructField("mention", T.StringType()),
-                T.StructField("mention_kind", T.StringType()),
-            ]
-        )
+    out_schema = (
+        "doc_id string, span_idx int, offset int, mention string, mention_kind string"
     )
 
-    @F.pandas_udf(out_type)
-    def extract_batch(texts: pd.Series) -> pd.Series:
-        import re
-
-        # compiled once per worker process (module-level caching via closure)
-        tok_re = re.compile(r"\S+")
-
-        def one(text):
-            if text is None:
-                return []
-            out = []
-            for m in tok_re.finditer(text):
-                tok = m.group(0)
-                if tok.startswith("arn:"):
-                    out.append((tok, "arn"))
-                elif "@" in tok:
-                    out.append((tok, "email"))
-            return out
-
-        return texts.map(one)
+    def kernel(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            toks = pc.split_pattern(batch.column("text"), " ")
+            lengths = pc.list_value_length(toks)
+            parent = np.repeat(
+                np.arange(batch.num_rows, dtype=np.int64),
+                pc.coalesce(lengths, pa.scalar(0, pa.int32())).to_numpy(
+                    zero_copy_only=False
+                ),
+            )
+            flat = pc.list_flatten(toks)
+            is_arn = pc.starts_with(flat, "arn:")
+            keep = pc.or_(is_arn, pc.match_substring(flat, "@"))
+            idx = np.nonzero(keep.to_numpy(zero_copy_only=False))[0]
+            if len(idx) == 0:
+                continue
+            take = pa.array(idx, pa.int64())
+            par = pa.array(parent[idx], pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").take(par),
+                    batch.column("span_idx").take(par),
+                    batch.column("offset").take(par),
+                    flat.take(take),
+                    pc.if_else(
+                        is_arn.take(take), pa.scalar("arn"), pa.scalar("email")
+                    ),
+                ],
+                names=["doc_id", "span_idx", "offset", "mention", "mention_kind"],
+            )
 
     text_spans = spans.where(F.col("kind") == "text").where(F.col("text").isNotNull())
-    return (
-        text_spans.select(
-            "doc_id", "span_idx", "offset", extract_batch("text").alias("ms")
-        )
-        .select("doc_id", "span_idx", "offset", F.explode("ms").alias("m"))
-        .select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            F.col("m.mention").alias("mention"),
-            F.col("m.mention_kind").alias("mention_kind"),
-        )
-    )
+    return text_spans.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("offset").cast("int").alias("offset"),
+        "text",
+    ).mapInArrow(kernel, out_schema)
 
 
 def detect_mentions(spans: DataFrame, impl: str = "native") -> DataFrame:

@@ -24,7 +24,6 @@ and a resource match within the same statement.
 from __future__ import annotations
 
 import json
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -173,13 +172,6 @@ def evaluate_permissions(
     )
 
 
-DEFAULT_RPR_FILE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "data",
-    "permission_relationships.json",
-)
-
-
 def load_permission_mappings(path: str | None = None) -> list[dict]:
     """User-editable permission->relationship mapping list.
 
@@ -188,10 +180,21 @@ def load_permission_mappings(path: str | None = None) -> list[dict]:
     permission_relationships.yaml rows of
     {permissions, target_label, relationship_name}; same contract here in
     JSON.  Validation mirrors the reference's required-field check
-    (permission_relationships.py:257-281).
+    (permission_relationships.py:257-281).  The packaged default resolves
+    via importlib.resources so it works under ``spark-submit --py-files``
+    (zipimport) as well as a filesystem checkout.
     """
-    with open(path or DEFAULT_RPR_FILE) as f:
-        mappings = json.load(f)
+    if path is not None:
+        with open(path) as f:
+            mappings = json.load(f)
+    else:
+        from importlib import resources
+
+        mappings = json.loads(
+            resources.files("cartography_spark")
+            .joinpath("data/permission_relationships.json")
+            .read_text()
+        )
     for m in mappings:
         if not all(k in m for k in ("permissions", "target_label", "relationship_name")):
             raise ValueError(f"invalid permission mapping: {m}")

@@ -55,43 +55,45 @@ def cosine_topk_arrow(
     Output: query_idx, vec_id, cosine (double), exactly k rows per query.
     """
     import numpy as np
-    from pyspark.sql import types as T
+    import pyarrow as pa
 
     q = np.asarray(query_vecs, dtype=np.float64)  # (nq, dim)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_idx", T.IntegerType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    out_schema = "query_idx int, vec_id long, cosine double"
 
     def kernel(it):
-        import pandas as pd
-
-        for pdf in it:
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (b, dim)
+        # mapInArrow, not mapInPandas: the list<float> column flattens to one
+        # contiguous buffer (near-zero-copy reshape) instead of a pandas
+        # object column of per-row ndarrays — on allocation-bound hosts the
+        # np.stack path is the scaling bottleneck, not the GEMM.
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(n, -1).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             scores = (m / norms[:, None]) @ qn.T  # (b, nq)
             b, nq = scores.shape
-            ids = pdf[id_col].to_numpy()
             kk = min(k, b)
             # per-query partial top-k within this batch
             top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
             qi = np.tile(np.arange(nq, dtype=np.int32), kk)
-            yield pd.DataFrame(
-                {
-                    "query_idx": qi,
-                    "vec_id": ids[top.ravel()],
-                    "cosine": np.take_along_axis(scores, top, axis=0).ravel(),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi, pa.int32()),
+                    pa.array(ids[top.ravel()], pa.int64()),
+                    pa.array(np.take_along_axis(scores, top, axis=0).ravel(), pa.float64()),
+                ],
+                names=["query_idx", "vec_id", "cosine"],
             )
 
     sel = embeddings.select(F.col(id_col).cast("long").alias(id_col), vec_col)
-    cands = sel.mapInPandas(kernel, out_schema)
+    cands = sel.mapInArrow(kernel, out_schema)
     w = Window.partitionBy("query_idx").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         cands.withColumn("_rn", F.row_number().over(w))
@@ -243,7 +245,7 @@ def ann_topk_batch(
     Output: query_idx, vec_id, cosine — k rows per query.
     """
     import numpy as np
-    from pyspark.sql import types as T
+    import pyarrow as pa
 
     probe_sets = [
         set(_probe_buckets(qv, num_planes, probe_radius)) for qv in query_vecs
@@ -252,24 +254,20 @@ def ann_topk_batch(
     q = np.asarray(query_vecs, dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_idx", T.IntegerType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    out_schema = "query_idx int, vec_id long, cosine double"
 
     def kernel(it):
-        import pandas as pd
-
-        for pdf in it:
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(n, -1).astype(np.float64)
+            buckets = batch.column(2).to_numpy(zero_copy_only=False)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             scores = (m / norms[:, None]) @ qn.T  # (b, nq)
-            buckets = pdf["bucket"].to_numpy()
-            ids = pdf["vec_id"].to_numpy()
             for qi, ps in enumerate(probe_sets):
                 mask = np.isin(buckets, list(ps))
                 if not mask.any():
@@ -278,12 +276,13 @@ def ann_topk_batch(
                 mids = ids[mask]
                 kk = min(k, len(s))
                 top = np.argpartition(-s, kk - 1)[:kk]
-                yield pd.DataFrame(
-                    {
-                        "query_idx": np.full(kk, qi, dtype=np.int32),
-                        "vec_id": mids[top],
-                        "cosine": s[top],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(kk, qi, dtype=np.int32), pa.int32()),
+                        pa.array(mids[top], pa.int64()),
+                        pa.array(s[top], pa.float64()),
+                    ],
+                    names=["query_idx", "vec_id", "cosine"],
                 )
 
     cand = (
@@ -291,7 +290,7 @@ def ann_topk_batch(
         .where(F.col("bucket").isin(all_probes))
         .select(F.col("vec_id").cast("long"), "embedding", F.col("bucket").cast("long"))
     )
-    scored = cand.mapInPandas(kernel, out_schema)
+    scored = cand.mapInArrow(kernel, out_schema)
     w = Window.partitionBy("query_idx").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

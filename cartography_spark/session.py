@@ -29,6 +29,13 @@ def get_spark(
         pandas UDF (no per-row Python anywhere in the hot path).
       * UTC session timezone so DuckDB oracle comparisons are stable.
     """
+    # Parallelism belongs to Spark tasks, not to BLAS: a multi-threaded
+    # OpenBLAS/MKL inside every Python worker oversubscribes the cores
+    # (measured: the 60-query cosine kernel ANTI-scales 4->16 threads
+    # without this).  Must be set before the JVM/worker processes spawn.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -78,9 +78,10 @@ docs = spark.read.parquet(amp_path)
 n_docs = docs.count()
 
 emb_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+emb_amp = max(amp, 100)  # vector corpus scales with the doc corpus
 emb = (
-    emb_base.crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
-    .select((F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"), "embedding")
+    emb_base.crossJoin(spark.range(emb_amp).withColumnRenamed("id", "rep"))
+    .select((F.col("vec_id") * emb_amp + F.col("rep")).alias("vec_id"), "embedding")
     .repartition(cpus * 4)
     .cache()
 )

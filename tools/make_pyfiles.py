@@ -26,7 +26,9 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .json: packaged config (permission_relationships.json) —
+                # load_permission_mappings must work under --py-files too
+                if fn.endswith((".py", ".json")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, ROOT))
         z.write(os.path.join(ROOT, "__spark_entry__.py"), "__spark_entry__.py")
