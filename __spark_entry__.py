@@ -683,6 +683,55 @@ def _q_kg_two_tag_roles(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_kg_azure_vms(spark, sf_dir):
+    """(AzureSubscription)-[:RESOURCE]->(AzureVirtualMachine) — second
+    non-AWS provider, resource-URI id grammar."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.azure import AZURE_SUBSCRIPTION_SCHEMA, AZURE_VM_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    subs = compile_nodes(fx.azure_subscriptions(spark, sf_dir), AZURE_SUBSCRIPTION_SCHEMA, T1)
+    edges = compile_edges(fx.azure_vms(spark, sf_dir), AZURE_VM_SCHEMA, subs, T1)
+    return edges.select(
+        F.col("src_id").alias("subscription_id"), F.col("dst_id").alias("vm_id")
+    )
+
+
+def _q_kg_two_tag_clusters(spark, sf_dir):
+    """EMR-cluster variant of the two-tag scenario: T1/T2 loads + cleanup
+    scoped to account 000000000000 (reference test_emr.py cleanup test;
+    other tenants' stale clusters survive)."""
+    from cartography_spark.core.cleanup import cleanup_schema
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.core.store import GraphStore
+    from cartography_spark.modules.aws_base import sync_accounts
+    from cartography_spark.modules.aws_emr import EMR_CLUSTER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    root = tempfile.mkdtemp(prefix="twotag_clusters_")
+    try:
+        store = GraphStore(spark, root, write_partitions=4)
+        for tag, variant in ((T1, "t1"), (T2, "t2")):
+            sync_accounts(store, fx.aws_accounts(spark, sf_dir), tag)
+            clusters = fx.emr_clusters(spark, sf_dir, variant)
+            store.upsert(
+                compile_nodes(clusters, EMR_CLUSTER_SCHEMA, tag),
+                compile_edges(clusters, EMR_CLUSTER_SCHEMA, store.nodes(), tag),
+                "clusters",
+                tag,
+            )
+        cleanup_schema(store, EMR_CLUSTER_SCHEMA, T2, "000000000000")
+        out = (
+            store.nodes()
+            .where(F.col("label") == "EMRCluster")
+            .select("id", "firstseen", "lastupdated")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_kg_permission_can_list(spark, sf_dir):
     """Second RPR mapping (CAN_LIST) straight from the config file —
     permission edges are data-driven, not hardcoded (reference
@@ -725,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_s3_anonymous": _q_kg_s3_anonymous,
         "kg_human_okta": _q_kg_human_okta,
         "kg_gcp_instances": _q_kg_gcp_instances,
+        "kg_azure_vms": _q_kg_azure_vms,
+        "kg_two_tag_clusters": _q_kg_two_tag_clusters,
         "kg_permission_can_list": _q_kg_permission_can_list,
         "kg_spans": _q_kg_spans,
         "kg_mentions": _q_kg_mentions,
@@ -939,6 +990,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_nationkey AS VARCHAR) || '.example.com' AS email,
                    'okta-' || CAST(c_custkey AS VARCHAR) AS okta_id
             FROM customer WHERE c_custkey % 6 = 0
+        """,
+        "kg_azure_vms": """
+            SELECT 'sub-' || CAST(CAST(p_partkey / 35 AS BIGINT) % 5 AS VARCHAR) AS subscription_id,
+                   '/subscriptions/sub-' || CAST(CAST(p_partkey / 35 AS BIGINT) % 5 AS VARCHAR) ||
+                   '/resourceGroups/rg-0/providers/Microsoft.Compute/virtualMachines/vm-' ||
+                   CAST(p_partkey AS VARCHAR) AS vm_id
+            FROM part WHERE p_partkey % 35 = 0
+        """,
+        "kg_two_tag_clusters": f"""
+            SELECT 'arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='s.s_nationkey')} ||
+                   ':cluster/j-' || CAST(s.s_suppkey AS VARCHAR) AS id,
+                   {T1} AS firstseen,
+                   CASE WHEN s.s_suppkey % 10 = 7 THEN {T1} ELSE {T2} END AS lastupdated
+            FROM supplier s
+            WHERE NOT (s.s_suppkey % 10 = 7 AND s.s_nationkey = 0)
         """,
         "kg_gcp_instances": """
             SELECT 'projects/proj-' || CAST(CAST(p_partkey / 40 AS BIGINT) % 25 AS VARCHAR) AS project_id,

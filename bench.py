@@ -76,6 +76,19 @@ def main():
 
     timed("graph_bulk_sync", graph_commit)
 
+    # 2b. MinHash production path (xxhash64 family — the md5 variant below
+    # exists only for bit-exact DuckDB oracle parity and is hash-bound)
+    from cartography_spark.ops.dedup import minhash_lsh_pairs
+
+    timed(
+        "dedup_minhash_fast",
+        lambda: run_count(
+            minhash_lsh_pairs(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"), hash_fn="xxhash"
+            )
+        ),
+    )
+
     # 3. operator headliners (count-materialized)
     for name in [
         "kg_permission_can_read",

@@ -20,6 +20,7 @@ from cartography_spark.modules.aws_base import sync_accounts
 from cartography_spark.modules.aws_ec2 import sync_ec2
 from cartography_spark.modules.aws_emr import sync_emr
 from cartography_spark.modules.aws_s3 import sync_s3
+from cartography_spark.modules.azure import sync_azure
 from cartography_spark.modules.gcp import sync_gcp
 from cartography_spark.modules.github import sync_github
 from cartography_spark.modules.hr import sync_humans
@@ -86,11 +87,18 @@ def run_sync(
         update_tag,
     )
 
-    # GCP: the non-AWS provider (schema compiler generality)
+    # GCP + Azure: the non-AWS providers (schema compiler generality across
+    # id grammars — GCP self-links, Azure resource URIs)
     sync_gcp(
         store,
         fx.gcp_projects(spark, sf_dir),
         fx.gcp_instances(spark, sf_dir),
+        update_tag,
+    )
+    sync_azure(
+        store,
+        fx.azure_subscriptions(spark, sf_dir),
+        fx.azure_vms(spark, sf_dir),
         update_tag,
     )
 

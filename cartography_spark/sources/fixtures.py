@@ -594,3 +594,31 @@ def gcp_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj.alias("project_id"),
         F.lit("us-east1-b").alias("zone"),
     )
+
+
+@plan_memo
+def azure_subscriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Azure subscriptions, one per region.  Columns: subscription_id, name."""
+    r = read_table(spark, sf_dir, "region")
+    return r.select(
+        F.concat(F.lit("sub-"), F.col("r_regionkey").cast("string")).alias("subscription_id"),
+        F.concat(F.lit("subscription-"), F.col("r_name")).alias("name"),
+    )
+
+
+@plan_memo
+def azure_vms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Azure VMs from part (p_partkey % 35 == 0), resource-URI ids.
+    Columns: vm_id, name, location, subscription_id."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 35) == 0)
+    sub = F.concat(F.lit("sub-"), ((F.col("p_partkey") / 35).cast("long") % 5).cast("string"))
+    return p.select(
+        F.concat(
+            F.lit("/subscriptions/"), sub,
+            F.lit("/resourceGroups/rg-0/providers/Microsoft.Compute/virtualMachines/vm-"),
+            F.col("p_partkey").cast("string"),
+        ).alias("vm_id"),
+        F.concat(F.lit("vm-"), F.col("p_partkey").cast("string")).alias("name"),
+        F.lit("eastus").alias("location"),
+        sub.alias("subscription_id"),
+    )

@@ -181,3 +181,14 @@ def test_upsert_props_merge_per_key(spark, store):
     store.upsert(node({"b": "9", "c": "3"}), None, "w2", T1)
     row = store.nodes().where(F.col("id") == "n1").collect()[0]
     assert row.props == {"a": "1", "b": "9", "c": "3"}
+
+
+def test_azure_module_resource_edges(spark, store):
+    """Second non-AWS sub-resource (Azure resource-URI ids)."""
+    from cartography_spark.modules.azure import sync_azure
+
+    sync_azure(store, fx.azure_subscriptions(spark, SF), fx.azure_vms(spark, SF), T1)
+    rels = check_rels(store, "AzureSubscription", "RESOURCE", "AzureVirtualMachine")
+    assert len(rels) > 0
+    for sub, vm in rels:
+        assert vm.startswith(f"/subscriptions/{sub}/")
