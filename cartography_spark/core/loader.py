@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -70,26 +70,52 @@ EDGES_SCHEMA = T.StructType(
 )
 
 
-def _stringify(df: DataFrame, col: str) -> Column:
-    """Render any input column as a string graph property.
+def _q(name: str) -> str:
+    """Backtick-quote a column name for a SQL expression string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_lit(v) -> str:
+    """Render a Python value as a SQL STRING literal (None -> typed NULL)."""
+    if v is None:
+        return "CAST(NULL AS STRING)"
+    if isinstance(v, bool):
+        return "'true'" if v else "'false'"
+    if isinstance(v, (int, float)):
+        return f"CAST({v!r} AS STRING)"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _stringify(df: DataFrame, col: str, prefix: str = "") -> str:
+    """SQL expression rendering an input column as a string graph property.
 
     Complex types are JSON-encoded (the reference JSON-encodes Condition
     blobs the same way, intel/aws/iam.py:556-557); scalars are cast.
+
+    The compilers build expression STRINGS and apply them with one
+    ``selectExpr`` per projection: plan construction is then a handful of
+    py4j round trips per schema instead of one per Column object, which on a
+    driver-latency-bound host is the difference between ~0.16 s and ~0.01 s
+    per compiled schema (measured; the sync loop compiles dozens).
     """
     dtype = df.schema[col].dataType
-    # df[col] (not F.col) so references stay unambiguous after self-named joins
+    ref = (prefix + "." if prefix else "") + _q(col)
     if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType)):
-        return F.to_json(df[col])
-    return df[col].cast("string")
+        return f"to_json({ref})"
+    if isinstance(dtype, T.StringType):
+        return ref
+    return f"CAST({ref} AS STRING)"
 
 
-def _ref_col(df: DataFrame, ref: PropertyRef, kwargs: Mapping[str, object]) -> Column:
-    """Resolve a PropertyRef against the batch (column) or run kwargs (literal)."""
+def _ref_col(df: DataFrame, ref: PropertyRef, kwargs: Mapping[str, object], prefix: str = "") -> str:
+    """Resolve a PropertyRef to a SQL expression string against the batch
+    (column reference) or run kwargs (literal)."""
     if ref.set_in_kwargs:
         if ref.source not in kwargs:
             raise KeyError(f"PropertyRef kwarg '{ref.source}' missing from run kwargs")
-        return F.lit(kwargs[ref.source]).cast("string")
-    return _stringify(df, ref.source)
+        return _sql_lit(kwargs[ref.source])
+    return _stringify(df, ref.source, prefix)
 
 
 def compile_nodes(
@@ -110,31 +136,21 @@ def compile_nodes(
         commit time, reproducing ``ON CREATE SET firstseen``.
     """
     kwargs = kwargs or {}
-    prop_cols = [
-        _ref_col(batch, ref, kwargs).alias(name) for name, ref in schema.properties.items()
-    ]
-    prop_map = (
-        F.map_filter(
-            F.map_from_arrays(
-                F.array(*[F.lit(n) for n in schema.properties]),
-                F.array(*[c for c in prop_cols]),
-            ),
-            lambda _, v: v.isNotNull(),
-        )
-        if schema.properties
-        else F.lit(None).cast("map<string,string>")
+    prop_map = _props_expr(batch, schema.properties, kwargs)
+    extra = (
+        "array(" + ", ".join(_sql_lit(x) for x in schema.extra_labels) + ")"
+        if schema.extra_labels
+        else "CAST(NULL AS ARRAY<STRING>)"
     )
 
-    out = batch.select(
-        _ref_col(batch, schema.id, kwargs).alias("id"),
-        F.lit(schema.label).alias("label"),
-        prop_map.alias("props"),
-        F.array(*[F.lit(x) for x in schema.extra_labels]).alias("extra_labels")
-        if schema.extra_labels
-        else F.lit(None).cast("array<string>").alias("extra_labels"),
-        F.lit(None).cast("long").alias("firstseen"),
-        F.lit(int(update_tag)).alias("lastupdated"),
-    ).where(F.col("id").isNotNull())
+    out = batch.selectExpr(
+        f"{_ref_col(batch, schema.id, kwargs)} AS id",
+        f"{_sql_lit(schema.label)} AS label",
+        f"{prop_map} AS props",
+        f"{extra} AS extra_labels",
+        "CAST(NULL AS BIGINT) AS firstseen",
+        f"CAST({int(update_tag)} AS BIGINT) AS lastupdated",
+    ).where("id IS NOT NULL")
 
     # Intra-batch duplicate-id collapse (A5 in SURVEY.md §2.4).  NOTE on
     # semantics: the reference applies MERGE rows sequentially, so its winner
@@ -143,37 +159,51 @@ def compile_nodes(
     # re-runs and partitionings, but NOT "last" in any input sense.  When
     # duplicate ids carry different props the surviving props may differ from
     # the reference's; callers that care must dedupe upstream.
-    w = Window.partitionBy("id").orderBy(F.xxhash64(F.to_json(F.struct("props"))).desc())
     return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        out.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY id ORDER BY"
+            " xxhash64(to_json(struct(props))) DESC) AS _rn",
+        )
+        .where("_rn = 1")
         .drop("_rn")
+    )
+
+
+def _props_expr(batch: DataFrame, props: Mapping[str, PropertyRef], kwargs, prefix: str = "") -> str:
+    """map<string,string> expression for a property bag, nulls dropped."""
+    if not props:
+        return "CAST(NULL AS MAP<STRING,STRING>)"
+    keys = ", ".join(_sql_lit(n) for n in props)
+    vals = ", ".join(_ref_col(batch, r, kwargs, prefix) for r in props.values())
+    return (
+        f"map_filter(map_from_arrays(array({keys}), array({vals})),"
+        " (k, v) -> v IS NOT NULL)"
     )
 
 
 def _matcher_condition(
     batch: DataFrame,
-    targets: DataFrame,
     rel: RelSchema,
     kwargs: Mapping[str, object],
-) -> Column:
-    """Build the equi-join condition batch x target-nodes for one RelSchema.
+) -> str:
+    """Equi-join condition (SQL string) batch x target-nodes for one RelSchema.
 
     Target attribute ``id`` matches the node id column; any other attribute
     matches ``props[attr]``.  ``ignore_case`` lowers both sides (reference:
     querybuilder.py:112-131 pushes toLower into the match the same way).
+    Sides are addressed through the ``__b`` (batch) / ``__t`` (targets)
+    dataset aliases so name collisions between batch and node columns stay
+    unambiguous.
     """
     conds = []
     for attr, ref in rel.matcher.keys.items():
-        left = _ref_col(batch, ref, kwargs)
-        right = targets["id"] if attr == "id" else F.element_at(targets["props"], attr)
+        left = _ref_col(batch, ref, kwargs, prefix="__b")
+        right = "__t.id" if attr == "id" else f"element_at(__t.props, {_sql_lit(attr)})"
         if ref.ignore_case:
-            left, right = F.lower(left), F.lower(right)
-        conds.append(left == right)
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond & c
-    return cond
+            left, right = f"lower({left})", f"lower({right})"
+        conds.append(f"({left} = {right})")
+    return " AND ".join(conds)
 
 
 def compile_edges(
@@ -224,44 +254,34 @@ def compile_edges(
 
     pieces: list[DataFrame] = []
     for rel in rels:
-        targets = existing_nodes.where(F.col("label") == rel.target_label).select(
-            "id", "label", "props"
-        )
+        targets = existing_nodes.where(
+            f"label = {_sql_lit(rel.target_label)}"
+        ).select("id", "label", "props")
         if broadcast_targets:
             targets = F.broadcast(targets)
-        cond = _matcher_condition(batch, targets, rel, kwargs)
-        joined = batch.join(targets, cond, "inner")
+        cond = _matcher_condition(batch, rel, kwargs)
+        joined = batch.alias("__b").join(targets.alias("__t"), F.expr(cond), "inner")
 
-        declaring_id = _ref_col(batch, schema.id, kwargs)
+        declaring_id = _ref_col(batch, schema.id, kwargs, prefix="__b")
         if rel.direction == LinkDirection.OUTWARD:
-            src_id, src_label = declaring_id, F.lit(schema.label)
-            dst_id, dst_label = targets["id"], F.lit(rel.target_label)
+            src_id, src_label = declaring_id, schema.label
+            dst_id, dst_label = "__t.id", rel.target_label
         else:
-            src_id, src_label = targets["id"], F.lit(rel.target_label)
-            dst_id, dst_label = declaring_id, F.lit(schema.label)
+            src_id, src_label = "__t.id", rel.target_label
+            dst_id, dst_label = declaring_id, schema.label
 
-        rel_props = (
-            F.map_filter(
-                F.map_from_arrays(
-                    F.array(*[F.lit(n) for n in rel.properties]),
-                    F.array(*[_ref_col(batch, r, kwargs) for r in rel.properties.values()]),
-                ),
-                lambda _, v: v.isNotNull(),
-            )
-            if rel.properties
-            else F.lit(None).cast("map<string,string>")
-        )
+        rel_props = _props_expr(batch, rel.properties, kwargs, prefix="__b")
 
         pieces.append(
-            joined.select(
-                src_id.alias("src_id"),
-                src_label.alias("src_label"),
-                F.lit(rel.rel_label).alias("rel_label"),
-                dst_id.alias("dst_id"),
-                dst_label.alias("dst_label"),
-                rel_props.alias("props"),
-                F.lit(None).cast("long").alias("firstseen"),
-                F.lit(int(update_tag)).alias("lastupdated"),
+            joined.selectExpr(
+                f"{src_id} AS src_id",
+                f"{_sql_lit(src_label)} AS src_label",
+                f"{_sql_lit(rel.rel_label)} AS rel_label",
+                f"{dst_id} AS dst_id",
+                f"{_sql_lit(dst_label)} AS dst_label",
+                f"{rel_props} AS props",
+                "CAST(NULL AS BIGINT) AS firstseen",
+                f"CAST({int(update_tag)} AS BIGINT) AS lastupdated",
             )
         )
 

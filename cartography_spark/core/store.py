@@ -387,6 +387,38 @@ class GraphStore:
         Implemented as one left join per table over ONLY the touched label
         slices — no collect of data, no per-row work.
         """
+        if self._current_version() == 0:
+            # MERGE into an empty table is INSERT ALL: no old rows to match,
+            # so skip the staging write, the distinct-labels probes, and the
+            # merge joins entirely — one pass: execute the batch plan straight
+            # into the generation slices (touched labels fall out of the
+            # written partition dirs).  Halves the write I/O of a cold bulk
+            # load; identical rows to the merge path (firstseen resolves to
+            # coalesce(NULL, tag) = tag for every row).
+            v = self._next_version()
+            node_slices = edge_slices = {}
+            fs = F.coalesce(F.col("firstseen"), F.lit(int(update_tag)))
+            if new_nodes is not None:
+                nn = new_nodes.withColumn("firstseen", fs).select(
+                    *[f.name for f in NODES_SCHEMA.fields]
+                )
+                node_slices = self._write_slices(nn, "nodes", v, "label")
+            if new_edges is not None:
+                ne = new_edges.withColumn("firstseen", fs).select(
+                    *[f.name for f in EDGES_SCHEMA.fields]
+                )
+                edge_slices = self._write_slices(ne, "edges", v, "rel_label")
+            return self._publish(
+                node_slices,
+                edge_slices,
+                sorted(node_slices),
+                sorted(edge_slices),
+                v,
+                stage,
+                update_tag,
+                metrics,
+            )
+
         touched_labels: list[str] = []
         touched_rels: list[str] = []
         nodes_out = edges_out = None

@@ -45,16 +45,19 @@ S3_SCHEMA = NodeSchema(
 )
 
 
-def _edge(src_id, src_label: str, rel: str, dst_id, dst_label: str, tag: int):
+def _edge(src_id: str, src_label: str, rel: str, dst_id: str, dst_label: str, tag: int):
+    """Edge projection as selectExpr strings — one py4j call per edge family
+    instead of eight Column round trips (driver plan-latency matters: the
+    bulk builder assembles ~16 families per run)."""
     return [
-        src_id.alias("src_id"),
-        F.lit(src_label).alias("src_label"),
-        F.lit(rel).alias("rel_label"),
-        dst_id.alias("dst_id"),
-        F.lit(dst_label).alias("dst_label"),
-        F.lit(None).cast("map<string,string>").alias("props"),
-        F.lit(None).cast("long").alias("firstseen"),
-        F.lit(int(tag)).alias("lastupdated"),
+        f"{src_id} AS src_id",
+        f"'{src_label}' AS src_label",
+        f"'{rel}' AS rel_label",
+        f"{dst_id} AS dst_id",
+        f"'{dst_label}' AS dst_label",
+        "CAST(NULL AS MAP<STRING,STRING>) AS props",
+        "CAST(NULL AS BIGINT) AS firstseen",
+        f"CAST({int(tag)} AS BIGINT) AS lastupdated",
     ]
 
 
@@ -185,11 +188,11 @@ def build_graph(
         compile_edges(
             o_members, OKTA_MEMBER_SCHEMA, compile_nodes(o_groups, OKTA_GROUP_SCHEMA, tag), tag
         ),
-        trusts.select(
-            *_edge(F.col("role_arn"), "AWSRole", "TRUSTS_AWS_PRINCIPAL", F.col("principal"), "AWSPrincipal", tag)
+        trusts.selectExpr(
+            *_edge("role_arn", "AWSRole", "TRUSTS_AWS_PRINCIPAL", "principal", "AWSPrincipal", tag)
         ),
-        foreign.select(
-            *_edge(F.col("acct"), "AWSAccount", "RESOURCE", F.col("principal"), "AWSPrincipal", tag)
+        foreign.selectExpr(
+            *_edge("acct", "AWSAccount", "RESOURCE", "principal", "AWSPrincipal", tag)
         ),
         # POLICY edges resolve src_label from the matched principal (parity
         # with sync_policies' principal join) — a policy attached to a user
@@ -216,8 +219,8 @@ def build_graph(
             F.lit(None).cast("long").alias("firstseen"),
             F.lit(tag).alias("lastupdated"),
         ),
-        statements.select(
-            *_edge(F.col("policy_id"), "AWSPolicy", "STATEMENT", F.col("statement_id"), "AWSPolicyStatement", tag)
+        statements.selectExpr(
+            *_edge("policy_id", "AWSPolicy", "STATEMENT", "statement_id", "AWSPolicyStatement", tag)
         ),
     ]
 
@@ -225,8 +228,8 @@ def build_graph(
     edge_parts.append(
         tag_ex.join(
             clusters.select(F.col("ClusterArn").alias("ResourceARN")), "ResourceARN", "inner"
-        ).select(
-            *_edge(F.col("ResourceARN"), "EMRCluster", "TAGGED", F.col("tag_id"), "AWSTag", tag)
+        ).selectExpr(
+            *_edge("ResourceARN", "EMRCluster", "TAGGED", "tag_id", "AWSTag", tag)
         )
     )
 
@@ -241,13 +244,13 @@ def build_graph(
     role_ids = roles.select(F.col("arn").alias("role_arn"))
     allowed = mapped.join(F.broadcast(role_ids), "role_arn", "inner")
     edge_parts.append(
-        allowed.select(
-            *_edge(F.col("role_arn"), "AWSRole", "ALLOWED_BY", F.col("group_id"), "OktaGroup", tag)
+        allowed.selectExpr(
+            *_edge("role_arn", "AWSRole", "ALLOWED_BY", "group_id", "OktaGroup", tag)
         )
     )
     edge_parts.append(
-        o_members.join(F.broadcast(allowed), "group_id", "inner").select(
-            *_edge(F.col("user_id"), "OktaUser", "CAN_ASSUME_ROLE", F.col("role_arn"), "AWSRole", tag)
+        o_members.join(F.broadcast(allowed), "group_id", "inner").selectExpr(
+            *_edge("user_id", "OktaUser", "CAN_ASSUME_ROLE", "role_arn", "AWSRole", tag)
         )
     )
 
@@ -256,8 +259,8 @@ def build_graph(
 
     can_read = evaluate_permissions(policies, statements, buckets, "s3:GetObject")
     edge_parts.append(
-        can_read.select(
-            *_edge(F.col("principal_arn"), "AWSPrincipal", "CAN_READ", F.col("resource_arn"), "S3Bucket", tag)
+        can_read.selectExpr(
+            *_edge("principal_arn", "AWSPrincipal", "CAN_READ", "resource_arn", "S3Bucket", tag)
         )
     )
     sts = sts_assumerole_pairs(
@@ -267,8 +270,8 @@ def build_graph(
         statements,
     )
     edge_parts.append(
-        sts.select(
-            *_edge(F.col("principal_arn"), "AWSPrincipal", "STS_ASSUMEROLE_ALLOW", F.col("role_arn"), "AWSRole", tag)
+        sts.selectExpr(
+            *_edge("principal_arn", "AWSPrincipal", "STS_ASSUMEROLE_ALLOW", "role_arn", "AWSRole", tag)
         )
     )
 
