@@ -156,26 +156,30 @@ class GraphStore:
             .partitionBy("_label")
             .parquet(gen_abs)
         )
+        # Slice labels + row counts come from the freshly written partition
+        # dirs and parquet footers, read driver-side with pyarrow — zero
+        # Spark jobs (this is exactly the per-file stats an Iceberg manifest
+        # records at commit; a real catalog hands them over the same way).
+        return self._slice_stats(gen_abs, gen_rel)
+
+    @staticmethod
+    def _slice_stats(gen_abs: str, gen_rel: str) -> dict:
+        """{label: {path, rows}} for every _label=* dir, from parquet footers."""
+        import pyarrow.parquet as pq
+
         out: dict[str, dict] = {}
-        if not any(d.startswith("_label=") for d in os.listdir(gen_abs)):
-            return out  # empty frame -> no slices
-        counts = (
-            self.spark.read.parquet(gen_abs)
-            .groupBy("_label")
-            .count()
-            .collect()
-        )
-        for r in counts:
-            d = f"_label={r['_label']}"
-            # dir name on disk is partition-escaped; find it by unquoting
-            actual = next(
-                (x for x in os.listdir(gen_abs) if x.startswith("_label=") and unquote(x[7:]) == str(r["_label"])),
-                d,
-            )
-            out[str(r["_label"])] = {
-                "path": os.path.join(gen_rel, actual),
-                "rows": int(r["count"]),
-            }
+        if not os.path.isdir(gen_abs):
+            return out
+        for d in os.listdir(gen_abs):
+            if not d.startswith("_label="):
+                continue
+            leaf = os.path.join(gen_abs, d)
+            rows = 0
+            for fn in os.listdir(leaf):
+                if fn.endswith(".parquet"):
+                    rows += pq.ParquetFile(os.path.join(leaf, fn)).metadata.num_rows
+            # dir name on disk is partition-escaped
+            out[unquote(d[7:])] = {"path": os.path.join(gen_rel, d), "rows": rows}
         return out
 
     def _publish(
@@ -214,16 +218,19 @@ class GraphStore:
         edges_man = _assemble(edge_slices, touched_rel_labels, "edges")
 
         stages = dict(parent.get("stages", {}))
-        stages[stage] = {
-            "update_tag": int(update_tag),
-            "version": version,
-            "labels": sorted((node_slices or {}).keys()),
-            "rels": sorted((edge_slices or {}).keys()),
-        }
+        # ``stage`` may be a list: a grouped flush records EVERY member
+        # stage's checkpoint under the one commit (resume skips them all).
+        for s in [stage] if isinstance(stage, str) else list(stage):
+            stages[s] = {
+                "update_tag": int(update_tag),
+                "version": version,
+                "labels": sorted((node_slices or {}).keys()),
+                "rels": sorted((edge_slices or {}).keys()),
+            }
         meta = {
             "version": version,
             "parent": prev,
-            "stage": stage,
+            "stage": stage if isinstance(stage, str) else ",".join(stage),
             "update_tag": int(update_tag),
             "committed_at": time.time(),
             "nodes": nodes_man,
@@ -355,20 +362,37 @@ class GraphStore:
 
     # ----- MERGE semantics ---------------------------------------------------
 
-    def _stage_batch(self, df: DataFrame, sub: str, schema) -> DataFrame:
-        """Materialize the incoming batch to a staging dir and read it back.
+    def _stage_batch(self, df: DataFrame, sub: str, schema, part_col: str):
+        """Materialize the incoming batch to a staging dir, partitioned by
+        label; returns (staged_df, touched_labels).
 
         This is the Iceberg write-path shape — batch data files land first,
         the MERGE works from files.  It truncates the batch's (possibly
-        enormous) upstream logical plan: the merge joins, the distinct-labels
-        probe, and the final slice write all re-analyze a leaf parquet scan
-        instead of the whole module pipeline, which on a driver-latency-bound
-        host is the difference between O(plan) and O(1) per downstream
-        action.  Staging files are reclaimed by _gc after publish.
+        enormous) upstream logical plan: the merge joins and the final slice
+        write re-analyze a leaf parquet scan instead of the whole module
+        pipeline, which on a driver-latency-bound host is the difference
+        between O(plan) and O(1) per downstream action.  Partitioning the
+        staging write by label makes the touched-label set a directory
+        listing — no distinct-collect job.  Staging files are reclaimed by
+        _gc after publish.
         """
         path = os.path.join(self.root, "data", "_staging", sub)
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.schema(schema).parquet(path)
+        (
+            df.withColumn("_label", F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy("_label")
+            .parquet(path)
+        )
+        leaves = [d for d in os.listdir(path) if d.startswith("_label=")]
+        labels = [unquote(d[7:]) for d in leaves]
+        if not labels:
+            return self.spark.createDataFrame([], schema), []
+        # leaf-dir read (as _read): no partition discovery, explicit schema;
+        # the label column is stored in the data files themselves.
+        staged = self.spark.read.schema(schema).parquet(
+            *[os.path.join(path, d) for d in leaves]
+        )
+        return staged.select(*[f.name for f in schema.fields]), labels
 
     def upsert(
         self,
@@ -424,58 +448,71 @@ class GraphStore:
         nodes_out = edges_out = None
 
         if new_nodes is not None:
-            new_nodes = self._stage_batch(new_nodes, "nodes", NODES_SCHEMA)
-            touched_labels = [r[0] for r in new_nodes.select("label").distinct().collect()]
-            old = self.nodes(labels=touched_labels)
-            old_keys = old.select(
-                F.col("label").alias("_l"),
-                F.col("id").alias("_i"),
-                F.col("firstseen").alias("_fs"),
-                F.col("props").alias("_op"),
+            new_nodes, touched_labels = self._stage_batch(
+                new_nodes, "nodes", NODES_SCHEMA, "label"
             )
-            merged_new = (
-                new_nodes.join(
-                    old_keys,
-                    (new_nodes["label"] == old_keys["_l"]) & (new_nodes["id"] == old_keys["_i"]),
-                    "left",
-                )
-                .withColumn("firstseen", F.coalesce(F.col("_fs"), F.lit(int(update_tag))))
-                .withColumn("props", _merge_props(F.col("_op"), new_nodes["props"]))
-                .drop("_l", "_i", "_fs", "_op")
-                .select(*[f.name for f in NODES_SCHEMA.fields])
+            nodes_out = self.merge_nodes(
+                self.nodes(labels=touched_labels), new_nodes, update_tag
             )
-            untouched = old.join(
-                new_nodes.select("label", "id"), ["label", "id"], "left_anti"
-            )
-            nodes_out = untouched.unionByName(merged_new)
 
         if new_edges is not None:
-            new_edges = self._stage_batch(new_edges, "edges", EDGES_SCHEMA)
-            touched_rels = [r[0] for r in new_edges.select("rel_label").distinct().collect()]
-            old_edges = self.edges(rel_labels=touched_rels)
-            old_e = old_edges.select(
-                *[F.col(k).alias(f"_{k}") for k in EDGE_KEY],
-                F.col("firstseen").alias("_fs"),
-                F.col("props").alias("_op"),
+            new_edges, touched_rels = self._stage_batch(
+                new_edges, "edges", EDGES_SCHEMA, "rel_label"
             )
-            cond = (
-                (new_edges["src_id"] == old_e["_src_id"])
-                & (new_edges["rel_label"] == old_e["_rel_label"])
-                & (new_edges["dst_id"] == old_e["_dst_id"])
+            edges_out = self.merge_edges(
+                self.edges(rel_labels=touched_rels), new_edges, update_tag
             )
-            merged_new_e = (
-                new_edges.join(old_e, cond, "left")
-                .withColumn("firstseen", F.coalesce(F.col("_fs"), F.lit(int(update_tag))))
-                .withColumn("props", _merge_props(F.col("_op"), new_edges["props"]))
-                .drop("_src_id", "_rel_label", "_dst_id", "_fs", "_op")
-                .select(*[f.name for f in EDGES_SCHEMA.fields])
-            )
-            untouched_e = old_edges.join(new_edges.select(*EDGE_KEY), EDGE_KEY, "left_anti")
-            edges_out = untouched_e.unionByName(merged_new_e)
 
         return self.commit_partial(
             nodes_out, edges_out, touched_labels, touched_rels, stage, update_tag, metrics
         )
+
+    def merge_nodes(self, old: DataFrame, new: DataFrame, update_tag: int) -> DataFrame:
+        """Pure MERGE plan over two node frames: matched rows keep existing
+        firstseen and merge props per-key; unmatched old rows pass through.
+        Shared by the commit path (over staged files) and the buffered sync
+        store's read views (over unexecuted batch plans)."""
+        old_keys = old.select(
+            F.col("label").alias("_l"),
+            F.col("id").alias("_i"),
+            F.col("firstseen").alias("_fs"),
+            F.col("props").alias("_op"),
+        )
+        merged_new = (
+            new.join(
+                old_keys,
+                (new["label"] == old_keys["_l"]) & (new["id"] == old_keys["_i"]),
+                "left",
+            )
+            .withColumn("firstseen", F.coalesce(F.col("_fs"), F.lit(int(update_tag))))
+            .withColumn("props", _merge_props(F.col("_op"), new["props"]))
+            .drop("_l", "_i", "_fs", "_op")
+            .select(*[f.name for f in NODES_SCHEMA.fields])
+        )
+        untouched = old.join(new.select("label", "id"), ["label", "id"], "left_anti")
+        return untouched.unionByName(merged_new)
+
+    def merge_edges(self, old: DataFrame, new: DataFrame, update_tag: int) -> DataFrame:
+        """Pure MERGE plan over two edge frames (see :meth:`merge_nodes`)."""
+        old_e = old.select(
+            *[F.col(k).alias(f"_{k}") for k in EDGE_KEY],
+            F.col("firstseen").alias("_fs"),
+            F.col("props").alias("_op"),
+        )
+        cond = (
+            (new["src_id"] == old_e["_src_id"])
+            & (new["rel_label"] == old_e["_rel_label"])
+            & (new["dst_id"] == old_e["_dst_id"])
+        )
+        merged_new = (
+            new.join(old_e, cond, "left")
+            .withColumn("firstseen", F.coalesce(F.col("_fs"), F.lit(int(update_tag))))
+            .withColumn("props", _merge_props(F.col("_op"), new["props"]))
+            .drop("_src_id", "_rel_label", "_dst_id", "_fs", "_op")
+            .select(*[f.name for f in EDGES_SCHEMA.fields])
+        )
+        untouched = old.join(new.select(*EDGE_KEY), EDGE_KEY, "left_anti")
+        return untouched.unionByName(merged_new)
 
     def delete(
         self,
@@ -558,3 +595,198 @@ class GraphStore:
         finally:
             for df in cached:
                 df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Write-behind commit grouping
+# ---------------------------------------------------------------------------
+
+_EMPTY_MAP = "CAST(map() AS MAP<STRING,STRING>)"
+# Sequential-MERGE fold over one (key)'s batch rows in stage order: each
+# batch's props merge per-key over the accumulated map (later keys win, keys
+# a later batch does not mention survive) — byte-identical to applying the
+# batches as separate upsert commits.
+_PROPS_FOLD = (
+    "aggregate(_rs, " + _EMPTY_MAP + ", (acc, x) -> map_concat("
+    "map_filter(acc, (k, v) -> NOT array_contains(map_keys(coalesce(x.props, "
+    + _EMPTY_MAP + ")), k)), coalesce(x.props, " + _EMPTY_MAP + ")))"
+)
+_SEQ_CMP = "(l, r) -> CASE WHEN l._seq < r._seq THEN -1 WHEN l._seq > r._seq THEN 1 ELSE 0 END"
+
+
+def _fold_batches(dfs, key_cols: list[str], last_cols: list[str], out_cols: list[str]) -> DataFrame:
+    """Combine per-stage batches into one batch with sequential-upsert
+    semantics: for a key written by several stages, props fold per-key in
+    stage order and scalar columns take the LAST stage's value (the reference
+    applies MERGE statements sequentially; this reproduces that composition
+    in a single shuffle).  Each input batch is assumed key-unique, which the
+    compilers guarantee (compile_nodes dedupes; edge builders dropDuplicates).
+    """
+    parts = [df.selectExpr("*", f"CAST({i} AS INT) AS _seq") for i, df in enumerate(dfs)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    struct_cols = ", ".join(["_seq", "props"] + last_cols)
+    g = (
+        u.selectExpr(*key_cols, f"struct({struct_cols}) AS _row", "lastupdated")
+        .groupBy(*key_cols)
+        .agg(
+            F.expr(f"array_sort(collect_list(_row), {_SEQ_CMP})").alias("_rs"),
+            F.expr("max(lastupdated)").alias("lastupdated"),
+        )
+        .selectExpr(
+            *key_cols,
+            f"{_PROPS_FOLD} AS _mp",
+            *[f"element_at(_rs, -1).{c} AS {c}" for c in last_cols],
+            "lastupdated",
+        )
+        .selectExpr(
+            *key_cols,
+            f"IF(size(_mp) > 0, _mp, CAST(NULL AS MAP<STRING,STRING>)) AS props",
+            *last_cols,
+            "CAST(NULL AS BIGINT) AS firstseen",
+            "lastupdated",
+        )
+    )
+    return g.select(*out_cols)
+
+
+class BufferedSyncStore:
+    """Write-behind wrapper around :class:`GraphStore` for staged syncs.
+
+    Module ``upsert`` calls accumulate in memory (as unexecuted DataFrame
+    plans) and flush as ONE merged commit at explicit :meth:`flush`
+    boundaries (the orchestrator flushes before the heavy documents stage,
+    before cleanup, and at sync end) or whenever a stage performs an
+    operation that must observe *committed* state (``delete``/``commit*``/
+    time-travel reads).  This collapses the sync's long tail of small
+    per-schema commits — each paying a fixed staging-write + merge +
+    manifest cost — into a handful of group commits: O(flush boundaries),
+    not O(stages), snapshot commits per run, the same reason an Iceberg
+    writer batches many table mutations into one snapshot.
+
+    Reads stay exact WITHOUT flushing: :meth:`nodes`/:meth:`edges` return a
+    lazy MERGE view of (committed slices x folded buffered batches) built by
+    the same ``merge_nodes``/``merge_edges`` plans the commit path uses, so
+    a stage that joins against "existing" nodes (trust stubs, SAML, edge
+    target matching) sees byte-identical rows to the sequential-commit path.
+
+    Semantics preserved exactly:
+      * Intra-group batches touching the same key compose via
+        :func:`_fold_batches` — identical rows to sequential upserts.
+      * Every member stage is checkpointed in the flush's manifest, so a
+        resumed run skips each of them individually; a crash before the
+        flush re-runs the whole group (upsert is a MERGE — idempotent).
+    """
+
+    _NO_FLUSH = {"spark", "root", "write_partitions", "stage_done", "_manifest"}
+
+    def __init__(self, store: GraphStore):
+        self._store = store
+        # per table: a checkpointed running fold of everything pending, plus
+        # batches buffered since the last fold (incremental — each module
+        # batch plan executes exactly once, at the first read or flush after
+        # its upsert, never re-derived per read)
+        self._pend = {"nodes": {"df": None, "new": []}, "edges": {"df": None, "new": []}}
+        self._stages: list[str] = []
+        self._tag: int | None = None
+
+    # -- buffered write -----------------------------------------------------
+
+    def upsert(self, new_nodes, new_edges, stage, update_tag, metrics=None):
+        if self._tag is not None and int(update_tag) != self._tag:
+            self.flush()
+        self._tag = int(update_tag)
+        if new_nodes is not None:
+            self._pend["nodes"]["new"].append(new_nodes)
+        if new_edges is not None:
+            self._pend["edges"]["new"].append(new_edges)
+        self._stages.append(stage)
+        return self._store._current_version()
+
+    def _has_pending(self, sub: str) -> bool:
+        p = self._pend[sub]
+        return p["df"] is not None or bool(p["new"])
+
+    def _folded(self, sub: str, materialize: bool = False):
+        """Running fold of the pending batches for 'nodes'/'edges'.
+
+        The sequential-MERGE fold is associative — fold(fold(a,b),c) ==
+        fold(a,b,c): per-key props merge left-to-right, scalars last-wins —
+        so new batches fold INTO the previous checkpointed result rather than
+        re-folding the whole buffer.  ``materialize=True`` (the read-view
+        path) localCheckpoints the fold: module batches embed earlier read
+        views, so without a lineage cut each successive view would nest the
+        previous one and the plan would grow combinatorially.  (At cluster
+        scale the same cut would be a write to the store's staging dir —
+        reliable storage instead of executor memory; the flush's staging
+        write already is exactly that.)
+        """
+        p = self._pend[sub]
+        if p["new"]:
+            dfs = ([p["df"]] if p["df"] is not None else []) + p["new"]
+            if len(dfs) == 1:
+                df = dfs[0]
+            elif sub == "nodes":
+                df = _fold_batches(
+                    dfs, ["label", "id"], ["extra_labels"],
+                    [f.name for f in NODES_SCHEMA.fields],
+                )
+            else:
+                df = _fold_batches(
+                    dfs, EDGE_KEY, ["src_label", "dst_label"],
+                    [f.name for f in EDGES_SCHEMA.fields],
+                )
+            p["df"], p["new"] = df, []
+            p["materialized"] = False
+        if materialize and not p.get("materialized"):
+            p["df"] = p["df"].localCheckpoint(eager=True)
+            p["materialized"] = True
+        return p["df"]
+
+    def flush(self) -> None:
+        if not self._stages:
+            return
+        nodes = self._folded("nodes") if self._has_pending("nodes") else None
+        edges = self._folded("edges") if self._has_pending("edges") else None
+        stages, tag = self._stages, self._tag
+        self._pend = {"nodes": {"df": None, "new": []}, "edges": {"df": None, "new": []}}
+        self._stages, self._tag = [], None
+        self._store.upsert(nodes, edges, stages, tag)
+
+    # -- merged read views ----------------------------------------------------
+
+    def nodes(self, version=None, labels=None):
+        if version is not None or not self._has_pending("nodes"):
+            return self._store.nodes(version, labels)
+        pending = self._folded("nodes", materialize=True)
+        if labels is not None:
+            labels = list(labels)
+            pending = pending.where(F.col("label").isin(labels))
+        return self._store.merge_nodes(
+            self._store.nodes(labels=labels), pending, self._tag
+        )
+
+    def edges(self, version=None, rel_labels=None):
+        if version is not None or not self._has_pending("edges"):
+            return self._store.edges(version, rel_labels)
+        pending = self._folded("edges", materialize=True)
+        if rel_labels is not None:
+            rel_labels = list(rel_labels)
+            pending = pending.where(F.col("rel_label").isin(rel_labels))
+        return self._store.merge_edges(
+            self._store.edges(rel_labels=rel_labels), pending, self._tag
+        )
+
+    # -- flush-through everything else ----------------------------------------
+
+    def __getattr__(self, name):
+        target = getattr(self._store, name)
+        if name in self._NO_FLUSH or not callable(target):
+            return target
+
+        def flushing(*args, **kwargs):
+            self.flush()
+            return target(*args, **kwargs)
+
+        return flushing

@@ -18,16 +18,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# F.get (not getItem/element_at): out-of-range yields NULL instead of the
+# ANSI INVALID_ARRAY_INDEX error.  These run inside plans where Catalyst may
+# reorder the extraction before a label filter, so non-ARN ids (okta ids,
+# doc ids) must degrade to NULL, never throw.
+
 def arn_partition(col) -> Column:
-    return F.split(col, ":").getItem(1)
+    return F.get(F.split(col, ":"), 1)
 
 
 def arn_service(col) -> Column:
-    return F.split(col, ":").getItem(2)
+    return F.get(F.split(col, ":"), 2)
 
 
 def arn_region(col) -> Column:
-    return F.split(col, ":").getItem(3)
+    return F.get(F.split(col, ":"), 3)
 
 
 def arn_account(col) -> Column:

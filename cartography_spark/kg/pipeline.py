@@ -45,6 +45,7 @@ def run_sync(
     with_documents: bool = True,
     with_github: bool = True,
     mention_impl: str = "native",
+    buffered: bool = True,
 ) -> SyncResult:
     """One full sync at the given update tag.
 
@@ -52,7 +53,20 @@ def run_sync(
     (every RESOURCE join needs them), principals before memberships/trusts,
     policies before permission evaluation, tags and analysis-adjacent
     derivations last.
+
+    Commit grouping: module upserts buffer in a :class:`BufferedSyncStore`
+    and land as a handful of grouped snapshot commits (explicit flushes
+    before the documents stage and cleanup; implicit ones at delete/analysis
+    boundaries).  Stages read through lazy MERGE views so every stage sees
+    exactly the state a sequential-commit run would; per-stage checkpoints
+    are all recorded, so resume granularity is unchanged from the caller's
+    perspective (a killed run re-runs at most one uncommitted group —
+    idempotently, since upsert is a MERGE).
     """
+    from cartography_spark.core.store import BufferedSyncStore
+
+    if buffered and not isinstance(store, BufferedSyncStore):
+        store = BufferedSyncStore(store)
     # --- extraction (the reference's `get`): fixture DataFrames -------------
     accounts = fx.aws_accounts(spark, sf_dir)
     users = fx.iam_users(spark, sf_dir, variant)
@@ -133,6 +147,10 @@ def run_sync(
 
     # --- documents path -------------------------------------------------------
     if with_documents:
+        # flush so the mention pipeline (which walks the node table many
+        # times: dictionary, canonicalization, label join) scans committed
+        # parquet slices instead of re-deriving the buffered merge view
+        getattr(store, "flush", lambda: None)()
         docs = interleaved_documents(spark, sf_dir)
         sync_documents(store, docs, update_tag, impl=mention_impl)
 
