@@ -413,6 +413,15 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash(read_table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-LSH (4 md5-Rademacher hyperplanes,
+    radius-1 multiprobe) candidate blocking + exact cosine >= 0.4."""
+    from cartography_spark.ops.dedup import embedding_near_dup
+    from cartography_spark.sources.fixtures import read_table
+
+    return embedding_near_dup(read_table(spark, sf_dir, "embeddings"))
+
+
 def _query_vec(spark, sf_dir):
     from cartography_spark.sources.fixtures import read_table
 
@@ -793,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_topk_arrow": _q_sim_topk_arrow,
         "sim_ann_lsh": _q_sim_ann_lsh,
@@ -1236,6 +1246,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(sum(maj * (1::BIGINT << b)) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            planes AS (
+              SELECT p.p, i.i,
+                     CASE WHEN substr(md5(p.p || '-' || i.i), 1, 1)
+                               IN ('0','1','2','3','4','5','6','7')
+                          THEN 1.0 ELSE -1.0 END AS r
+              FROM generate_series(0, 3) p(p), generate_series(1, 64) i(i)
+            ),
+            dots AS (
+              SELECT e.vec_id, pl.p, sum(e.v[pl.i] * pl.r) AS d
+              FROM e, planes pl GROUP BY 1, 2
+            ),
+            sig AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+              FROM dots GROUP BY 1
+            ),
+            probes AS (
+              SELECT vec_id, bucket AS probe FROM sig
+              UNION ALL
+              SELECT vec_id, xor(bucket, CAST(1 << g.p AS INTEGER))
+              FROM sig, generate_series(0, 3) g(p)
+            ),
+            cand AS (
+              SELECT a.vec_id AS ida, b.vec_id AS idb
+              FROM probes a JOIN sig b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+            ),
+            n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+            SELECT c.ida AS id_a, c.idb AS id_b,
+                   round(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]))
+                         / (x.nrm * y.nrm), 6) AS cosine
+            FROM cand c JOIN n x ON x.vec_id = c.ida JOIN n y ON y.vec_id = c.idb
+            WHERE list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]))
+                  / (x.nrm * y.nrm) >= 0.4
         """,
         "sim_topk_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,11 +1,12 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, each a standard large-scale technique:
+Six tiers, each a standard large-scale technique:
   * exact          — hash-groupBy on the content fingerprint (one shuffle)
   * prefix/block   — groupBy on a cheap blocking key
   * n-gram Jaccard — shingle blocking join + set-overlap verification
   * MinHash + LSH  — signature bands -> bucket join -> Jaccard verify
   * SimHash        — bitwise majority fingerprint, groupable/hamming-banded
+  * embedding near-dup — hyperplane-LSH bucketed candidates + exact cosine
 
 Hash family is parameterized (``hash_fn``):
   * ``xxhash`` (default) — Spark-native xxhash64: contention-free and ~7x
@@ -249,3 +250,110 @@ def simhash(docs: DataFrame, bits: int = 32, hash_fn: str = "xxhash") -> DataFra
         f"(CASE WHEN s{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)" for b in range(bits)
     )
     return per_doc.select("doc_id", F.expr(fingerprint).alias("simhash"))
+
+
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +/-1 hyperplanes keyed by md5 digit parity.
+
+    Component (p, i) is +1 iff the first hex digit of md5("{p}-{i}") is in
+    0..7 (i is 1-indexed).  The same formula is reproducible in ANSI SQL
+    (``substr(md5(p || '-' || i), 1, 1)``), so the DuckDB oracle buckets
+    identically — the dedup analog of the md5 MinHash parity trick above.
+    Rademacher entries are a standard random-projection family (sign-LSH,
+    Charikar 2002); no RNG keeps runs reproducible across cluster sizes.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}-{i}".encode()).hexdigest()[0] in "01234567"
+            else -1.0
+            for i in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int = 64,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+
+    Pipeline (all JVM-native, no UDFs):
+      1. signature: ``n_planes`` hyperplane dot products per vector fold into
+         an int bucket (one narrow projection — no shuffle);
+      2. candidates: self-join on bucket with radius-``probe_radius``
+         multiprobe (each LEFT row also probes the buckets at Hamming
+         distance 1, so pairs whose signatures differ by one bit are still
+         candidates).  A (x, y) pair with ``x < y`` matches exactly once —
+         distance-0 via y's own bucket, distance-1 via exactly one flip — so
+         no dedup pass is needed;
+      3. verify: exact cosine on candidates only, keep ``>= threshold``.
+
+    At scale: the join shuffles on ``bucket`` — pick ``n_planes ~
+    log2(N / target_bucket_rows)`` so buckets stay executor-sized; skewed
+    (dense-region) buckets are handled by AQE skew-join splitting.  The
+    full vectors ride the candidate shuffle only, never a cross join.
+    Recall is the standard sign-LSH curve ``P(agree) = 1 - theta/pi`` per
+    bit; raise ``probe_radius`` (or band over multiple signatures like
+    ``minhash_lsh_pairs``) for higher recall.
+
+    Output: id_a, id_b, cosine (rounded 6dp), id_a < id_b.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    planes = rademacher_planes(n_planes, dim)
+
+    def _dot_plane(plane):
+        arr = F.array(*[F.lit(c) for c in plane])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    bucket = None
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot_plane(plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    sig = embeddings.select(
+        F.col(id_col).alias("vid"),
+        v.alias("v"),
+        norm.alias("nrm"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+    probes = sig.select("vid", "v", "nrm", F.col("bucket").alias("probe"))
+    if probe_radius >= 1:
+        flips = sig.select(
+            "vid", "v", "nrm",
+            F.explode(
+                F.array(*[F.expr(f"int(bucket ^ {1 << p})") for p in range(n_planes)])
+            ).alias("probe"),
+        )
+        probes = probes.unionByName(flips)
+
+    right = sig.select(
+        F.col("vid").alias("vid_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("probe"),
+    )
+    cand = probes.join(right, ["probe"]).where(F.col("vid") < F.col("vid_b"))
+    cosine = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / (F.col("nrm") * F.col("nrm_b"))
+    return (
+        cand.withColumn("cosine", cosine)
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("vid").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

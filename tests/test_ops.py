@@ -161,3 +161,26 @@ def test_ann_indexed_and_batch_recall(spark, tmp_path):
         got = {r.vec_id for r in batch if r.query_idx == qi}
         assert got == single  # batch == single-query indexed probes
         assert len(exact & got) / k >= 0.5  # usable recall vs brute force
+
+
+def test_embedding_near_dup_pairs_verified(spark, emb):
+    """Every emitted pair is ordered, above threshold, and candidate
+    generation actually prunes (bucketed join, never all-pairs)."""
+    from cartography_spark.ops.dedup import embedding_near_dup
+
+    rows = embedding_near_dup(emb, threshold=0.3).collect()
+    assert rows, "sf0.001 embeddings should contain >=1 pair above 0.3"
+    n = emb.count()
+    assert len(rows) < n * (n - 1) / 2
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.3
+
+
+def test_embedding_near_dup_multiprobe_superset(spark, emb):
+    """Radius-1 multiprobe finds at least the radius-0 pairs."""
+    from cartography_spark.ops.dedup import embedding_near_dup
+
+    r0 = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.3, probe_radius=0).collect()}
+    r1 = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.3).collect()}
+    assert r0 <= r1
