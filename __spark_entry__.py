@@ -515,6 +515,46 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_events_sessions_stateful(spark, sf_dir):
+    """The SAME per-user sessions as events_sessions, computed by the
+    custom stateful STREAMING operator (applyInPandasWithState) over the
+    events table read as a bounded stream (Trigger.AvailableNow).  The last
+    cumulative row per user (update-mode memory sink) is the final
+    aggregate; the driver checks it against the identical DuckDB oracle —
+    streaming/batch equivalence as a first-class correctness gate."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from cartography_spark.sources.fixtures import read_table
+    from cartography_spark.streaming.incremental import sessionize_stateful
+
+    schema = read_table(spark, sf_dir, "events").schema
+    name = "sess_stateful_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    # file-source needs a directory or glob; the testdata tables are single
+    # files, so glob the exact name (the [t] wildcard forces glob handling)
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque[t]")
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
 def _q_events_windowed_counts(spark, sf_dir):
     """Tumbling 1h windows per event_type — the batch equivalent of the
     streaming windowed agg (streaming parity tested in pytest)."""
@@ -657,6 +697,137 @@ def _q_kg_gcp_instances(spark, sf_dir):
     )
 
 
+def _q_kg_keypair_dupes(spark, sf_dir):
+    """aws_ec2_keypair_analysis.json dataflow: MATCHING_FINGERPRINT pairs
+    (canonical src < dst) from the fingerprint self-join (analysis/jobs.py
+    keypair_analysis runs the same store-side)."""
+    from cartography_spark.sources import fixtures as fx
+
+    kp = fx.ec2_keypairs(spark, sf_dir)
+    a = kp.select(F.col("keypair_arn").alias("arn_a"), F.col("keyfingerprint").alias("fp"))
+    b = kp.select(F.col("keypair_arn").alias("arn_b"), F.col("keyfingerprint").alias("fp"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("arn_a") < F.col("arn_b"))
+        .select("arn_a", "arn_b", F.length("fp").cast("long").alias("fp_len"))
+    )
+
+
+def _q_kg_lambda_ecr(spark, sf_dir):
+    """aws_lambda_ecr.json dataflow: (AWSLambda)-[:HAS]->(ECRImage) on
+    digest = 'sha256:' + codesha256."""
+    from cartography_spark.sources import fixtures as fx
+
+    lam = fx.lambda_functions(spark, sf_dir).select(
+        F.col("arn").alias("lambda_arn"),
+        F.concat(F.lit("sha256:"), F.col("codesha256")).alias("digest"),
+    )
+    img = fx.ecr_images(spark, sf_dir).select("digest")
+    return lam.join(F.broadcast(img), "digest").select("lambda_arn", "digest")
+
+
+def _q_kg_eks_exposed(spark, sf_dir):
+    """aws_eks_asset_exposure.json dataflow: clusters with a public endpoint
+    get exposed_internet = true."""
+    from cartography_spark.sources import fixtures as fx
+
+    return (
+        fx.eks_clusters(spark, sf_dir)
+        .where(F.col("endpoint_public_access") == "true")
+        .select("arn", F.lit("true").alias("exposed_internet"))
+    )
+
+
+def _q_kg_gke_flags(spark, sf_dir):
+    """gcp_gke_asset_exposure.json + gcp_gke_basic_auth.json dataflow: both
+    cluster marks as computed columns."""
+    from cartography_spark.sources import fixtures as fx
+
+    g = fx.gke_clusters(spark, sf_dir)
+    exposed = (
+        (F.col("private_nodes") == "false")
+        | (F.col("private_endpoint_enabled") == "false")
+        | (F.col("master_authorized_networks") == "false")
+    )
+    basic = (F.col("masterauth_username") != "") & (F.col("masterauth_password") != "")
+    return g.select(
+        "self_link",
+        exposed.cast("string").alias("exposed_internet"),
+        basic.cast("string").alias("basic_auth"),
+    )
+
+
+def _gcp_attach_pairs(spark, sf_dir):
+    """(fw_id, instance_id) FIREWALL_INGRESS attach pairs from fixtures —
+    the tag-match path plus the untargeted-VPC-wide path (reference
+    gcp_compute_asset_inet_exposure.json statements 2-3)."""
+    from cartography_spark.sources import fixtures as fx
+
+    inst = fx.gcp_instance_net(spark, sf_dir)
+    fw = fx.gcp_firewalls(spark, sf_dir).where(F.col("direction") == "INGRESS")
+    tag_path = inst.join(
+        fw.where(F.col("target_tag").isNotNull()),
+        (inst["vpc_id"] == fw["vpc_id"]) & (inst["tag"] == fw["target_tag"]),
+    ).select("fw_id", "instance_id")
+    open_path = inst.join(
+        fw.where(F.col("target_tag").isNull() & (F.col("has_target_service_accounts") == "false")),
+        inst["vpc_id"] == fw["vpc_id"],
+    ).select("fw_id", "instance_id")
+    return tag_path.unionByName(open_path).distinct()
+
+
+def _q_kg_gcp_fw_ingress(spark, sf_dir):
+    return _gcp_attach_pairs(spark, sf_dir)
+
+
+def _q_kg_gcp_exposed(spark, sf_dir):
+    """gcp_compute_asset_inet_exposure.json dataflow: public-IP instances
+    reachable through an attached 0.0.0.0/0 ALLOW rule that survives every
+    attached same-protocol DENY rule (allow x deny left join; a pair row
+    passes when deny is absent, outranked, or misses the allow ports)."""
+    from cartography_spark.sources import fixtures as fx
+
+    attach = _gcp_attach_pairs(spark, sf_dir)
+    fw = fx.gcp_firewalls(spark, sf_dir).select("fw_id", "priority")
+    rules = fx.gcp_fw_rules(spark, sf_dir)
+    allows = (
+        attach.join(rules.where((F.col("action") == "allow") & (F.col("cidr") == "0.0.0.0/0")), "fw_id")
+        .join(fw.withColumnRenamed("priority", "a_pri"), "fw_id")
+        .select("instance_id", "protocol", "a_pri", F.col("fromport").alias("a_from"), F.col("toport").alias("a_to"))
+    )
+    denies = (
+        attach.join(rules.where(F.col("action") == "deny"), "fw_id")
+        .join(fw.withColumnRenamed("priority", "d_pri"), "fw_id")
+        .select(
+            F.col("instance_id").alias("d_instance_id"),
+            F.col("protocol").alias("d_protocol"),
+            "d_pri",
+            F.col("fromport").alias("d_from"),
+            F.col("toport").alias("d_to"),
+        )
+    )
+    pairs = allows.join(
+        denies,
+        (allows["instance_id"] == denies["d_instance_id"])
+        & (F.col("protocol") == F.col("d_protocol")),
+        "left",
+    )
+    survives = (
+        F.col("d_pri").isNull()
+        | (F.col("d_pri") > F.col("a_pri"))
+        | ~F.col("a_from").between(F.col("d_from"), F.col("d_to"))
+        | ~F.col("a_to").between(F.col("d_from"), F.col("d_to"))
+    )
+    with_ip = fx.gcp_instance_net(spark, sf_dir).where(F.col("public_ip").isNotNull())
+    return (
+        pairs.where(survives)
+        .select(allows["instance_id"])
+        .distinct()
+        .join(with_ip.select("instance_id"), "instance_id", "left_semi")
+        .select("instance_id", F.lit("direct").alias("exposed_internet_type"))
+    )
+
+
 def _q_kg_two_tag_roles(spark, sf_dir):
     """Tenant-scoped cleanup_schema (reference cleanupbuilder.py:107-126):
     T1/T2 role loads, then cleanup scoped to account 000000000000 ONLY —
@@ -781,6 +952,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ec2_assumerole": _q_kg_ec2_assumerole,
         "kg_foreign_accounts": _q_kg_foreign_accounts,
         "kg_s3_anonymous": _q_kg_s3_anonymous,
+        "kg_keypair_dupes": _q_kg_keypair_dupes,
+        "kg_lambda_ecr": _q_kg_lambda_ecr,
+        "kg_eks_exposed": _q_kg_eks_exposed,
+        "kg_gke_flags": _q_kg_gke_flags,
+        "kg_gcp_fw_ingress": _q_kg_gcp_fw_ingress,
+        "kg_gcp_exposed": _q_kg_gcp_exposed,
         "kg_human_okta": _q_kg_human_okta,
         "kg_gcp_instances": _q_kg_gcp_instances,
         "kg_azure_vms": _q_kg_azure_vms,
@@ -808,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": _q_sim_ann_lsh,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "events_sessions": _q_events_sessions,
+        "events_sessions_stateful": _q_events_sessions_stateful,
         "events_windowed_counts": _q_events_windowed_counts,
     }
 
@@ -994,6 +1172,123 @@ def oracle_sql() -> dict[str, str]:
                    END AS anonymous_actions
             FROM (SELECT DISTINCT p_partkey % 20 AS b FROM part)
             WHERE b % 3 = 0
+        """,
+        "kg_keypair_dupes": f"""
+            WITH kp AS (
+              SELECT 'arn:aws:ec2:us-east-1:' || {ACCT.format(k='s_nationkey')} ||
+                     ':key-pair/kp-' || CAST(s_suppkey AS VARCHAR) AS arn,
+                     CASE WHEN s_suppkey % 5 = 0
+                       THEN rpad('fpu-' || CAST(s_suppkey - s_suppkey % 10 AS VARCHAR), 47, 'x')
+                       ELSE rpad('fp-' || CAST(s_suppkey - s_suppkey % 2 AS VARCHAR), 59, 'x')
+                     END AS fp
+              FROM supplier
+            )
+            SELECT a.arn AS arn_a, b.arn AS arn_b, CAST(length(a.fp) AS BIGINT) AS fp_len
+            FROM kp a JOIN kp b ON a.fp = b.fp AND a.arn < b.arn
+        """,
+        "kg_lambda_ecr": f"""
+            WITH lam AS (
+              SELECT 'arn:aws:lambda:us-east-1:' || {ACCT.format(k='o_custkey % 25')} ||
+                     ':function:fn-' || CAST(o_orderkey AS VARCHAR) AS lambda_arn,
+                     'sha256:' || md5('code-' ||
+                        CAST(CAST(o_orderkey / 10 AS BIGINT) % 40 AS VARCHAR)) AS digest
+              FROM orders WHERE o_orderkey % 10 = 0
+            ),
+            img AS (
+              SELECT DISTINCT 'sha256:' || md5('code-' || CAST(k AS VARCHAR)) AS digest
+              FROM (SELECT p_partkey % 40 AS k FROM part) WHERE k % 3 <> 2
+            )
+            SELECT lambda_arn, lam.digest AS digest FROM lam JOIN img ON img.digest = lam.digest
+        """,
+        "kg_eks_exposed": f"""
+            SELECT 'arn:aws:eks:us-east-1:' || {ACCT.format(k='s_nationkey')} ||
+                   ':cluster/eks-' || CAST(s_suppkey AS VARCHAR) AS arn,
+                   'true' AS exposed_internet
+            FROM supplier WHERE s_suppkey % 3 = 0 AND s_suppkey % 2 = 0
+        """,
+        "kg_gke_flags": """
+            SELECT 'projects/proj-' || CAST(CAST(p_partkey / 45 AS BIGINT) % 25 AS VARCHAR) ||
+                   '/locations/us-east1/clusters/gke-' || CAST(p_partkey AS VARCHAR) AS self_link,
+                   CAST(NOT (p_partkey % 2 = 0)
+                        OR NOT (CAST(p_partkey / 45 AS BIGINT) % 3 <> 1)
+                        OR NOT (CAST(p_partkey / 45 AS BIGINT) % 2 = 0) AS VARCHAR) AS exposed_internet,
+                   CAST(CAST(p_partkey / 45 AS BIGINT) % 4 = 0
+                        AND CAST(p_partkey / 45 AS BIGINT) % 3 = 0 AS VARCHAR) AS basic_auth
+            FROM part WHERE p_partkey % 45 = 0
+        """,
+        "kg_gcp_fw_ingress": """
+            WITH inst AS (
+              SELECT 'projects/proj-' || CAST(CAST(p_partkey/40 AS BIGINT) % 25 AS VARCHAR) ||
+                     '/zones/us-east1-b/instances/inst-' || CAST(p_partkey AS VARCHAR) AS instance_id,
+                     CAST(p_partkey/40 AS BIGINT) % 25 AS n,
+                     CAST(p_partkey/40 AS BIGINT) % 3 AS tagidx
+              FROM part WHERE p_partkey % 40 = 0
+            ),
+            fw AS (
+              SELECT n_nationkey AS n, k.kind,
+                     'projects/proj-' || CAST(n_nationkey AS VARCHAR) || '/global/firewalls/fw-' ||
+                     CAST(n_nationkey AS VARCHAR) || '-' || k.kind AS fw_id
+              FROM nation CROSS JOIN (VALUES ('tagged'),('open'),('deny')) k(kind)
+            )
+            SELECT f.fw_id, i.instance_id
+            FROM inst i JOIN fw f ON i.n = f.n
+            WHERE (f.kind = 'tagged' AND i.tagidx = 0) OR f.kind IN ('open','deny')
+        """,
+        "kg_gcp_exposed": """
+            WITH inst AS (
+              SELECT 'projects/proj-' || CAST(CAST(p_partkey/40 AS BIGINT) % 25 AS VARCHAR) ||
+                     '/zones/us-east1-b/instances/inst-' || CAST(p_partkey AS VARCHAR) AS instance_id,
+                     CAST(p_partkey/40 AS BIGINT) % 25 AS n,
+                     CAST(p_partkey/40 AS BIGINT) % 3 AS tagidx,
+                     p_partkey % 80 = 0 AS has_ip
+              FROM part WHERE p_partkey % 40 = 0
+            ),
+            fw AS (
+              SELECT n_nationkey AS n, k.kind,
+                     CASE k.kind WHEN 'tagged' THEN 1000 WHEN 'open' THEN 900
+                       ELSE CASE WHEN n_nationkey % 4 = 0 THEN 800 ELSE 1100 END END AS priority,
+                     'projects/proj-' || CAST(n_nationkey AS VARCHAR) || '/global/firewalls/fw-' ||
+                     CAST(n_nationkey AS VARCHAR) || '-' || k.kind AS fw_id
+              FROM nation CROSS JOIN (VALUES ('tagged'),('open'),('deny')) k(kind)
+            ),
+            rules AS (
+              SELECT fw_id, n, kind,
+                     CASE WHEN kind = 'deny' THEN 'deny' ELSE 'allow' END AS action,
+                     'tcp' AS protocol,
+                     CASE kind WHEN 'tagged' THEN 443 WHEN 'open' THEN 22 ELSE 0 END AS fromport,
+                     CASE kind WHEN 'tagged' THEN 443 WHEN 'open' THEN 22 ELSE 65535 END AS toport,
+                     CASE WHEN kind = 'deny' THEN '0.0.0.0/0'
+                          WHEN kind = 'tagged' AND n % 2 = 0 THEN '0.0.0.0/0'
+                          WHEN kind = 'open' AND n % 3 = 0 THEN '0.0.0.0/0'
+                          ELSE '10.0.0.0/8' END AS cidr
+              FROM fw
+            ),
+            attach AS (
+              SELECT f.fw_id, i.instance_id
+              FROM inst i JOIN fw f ON i.n = f.n
+              WHERE (f.kind = 'tagged' AND i.tagidx = 0) OR f.kind IN ('open','deny')
+            ),
+            allows AS (
+              SELECT a.instance_id, r.protocol, f.priority AS a_pri,
+                     r.fromport AS a_from, r.toport AS a_to
+              FROM attach a
+              JOIN rules r ON r.fw_id = a.fw_id AND r.action = 'allow' AND r.cidr = '0.0.0.0/0'
+              JOIN fw f ON f.fw_id = a.fw_id
+            ),
+            denies AS (
+              SELECT a.instance_id, r.protocol, f.priority AS d_pri,
+                     r.fromport AS d_from, r.toport AS d_to
+              FROM attach a
+              JOIN rules r ON r.fw_id = a.fw_id AND r.action = 'deny'
+              JOIN fw f ON f.fw_id = a.fw_id
+            )
+            SELECT DISTINCT al.instance_id, 'direct' AS exposed_internet_type
+            FROM allows al
+            LEFT JOIN denies d ON d.instance_id = al.instance_id AND d.protocol = al.protocol
+            JOIN inst i ON i.instance_id = al.instance_id AND i.has_ip
+            WHERE d.d_pri IS NULL OR d.d_pri > al.a_pri
+               OR NOT (al.a_from BETWEEN d.d_from AND d.d_to)
+               OR NOT (al.a_to BETWEEN d.d_from AND d.d_to)
         """,
         "kg_human_okta": """
             SELECT 'user-' || CAST(c_custkey AS VARCHAR) || '@corp-' ||
@@ -1327,6 +1622,18 @@ def oracle_sql() -> dict[str, str]:
             FROM d WHERE doc_id % 5 = 0
         """,
         "events_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1
+                          WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                          ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "events_sessions_stateful": """
             WITH g AS (
               SELECT user_id,
                      CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800

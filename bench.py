@@ -96,6 +96,8 @@ def main():
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",
+        "dedup_embedding",
+        "kg_gcp_exposed",
         "text_quality",
         "sim_topk_cosine",
         "sim_ann_lsh",

@@ -205,3 +205,338 @@ def link_humans(
     if not store.stage_done(stage + ":edges", update_tag):
         store.upsert(None, edges, stage + ":edges", update_tag)
     _cleanup_rel(store, "IDENTITY_OKTA", update_tag, stage)
+
+
+def _edge_frame(df, src_label, rel_label, dst_label, update_tag):
+    """Edge rows in the store layout from (src_id, dst_id) pairs; firstseen
+    NULL so the upsert MERGE preserves existing edges' firstseen."""
+    return df.select(
+        F.col("src_id"),
+        F.lit(src_label).alias("src_label"),
+        F.lit(rel_label).alias("rel_label"),
+        F.col("dst_id"),
+        F.lit(dst_label).alias("dst_label"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("long").alias("firstseen"),
+        F.lit(int(update_tag)).alias("lastupdated"),
+    ).dropDuplicates(["src_id", "rel_label", "dst_id"])
+
+
+def keypair_analysis(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """aws_ec2_keypair_analysis.json: clear then recompute user_uploaded
+    (47-char MD5-form fingerprint) and duplicate_keyfingerprint, plus
+    MATCHING_FINGERPRINT edges between keypairs sharing a fingerprint.
+
+    The reference's undirected MERGE picks an arbitrary direction per pair;
+    distributed evaluation gets a deterministic one instead: src_id < dst_id.
+    Pair generation is a self-join ON the fingerprint (the blocking key) —
+    never all-pairs; hot fingerprints are the skew axis and fall to AQE.
+    """
+    stage = "analysis:aws_ec2_keypair"
+    kps = store.nodes(labels=["EC2KeyPair"])
+    fp = F.element_at("props", "keyfingerprint")
+    counts = (
+        kps.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marked = (
+        kps.withColumn("fp", fp)
+        .join(F.broadcast(counts), ["fp"], "left")
+        .withColumn(
+            "props",
+            F.map_concat(
+                _strip_keys_keepempty(
+                    F.col("props"), "user_uploaded", "duplicate_keyfingerprint"
+                ),
+                F.map_filter(
+                    F.create_map(
+                        F.lit("user_uploaded"),
+                        F.when(F.length("fp") == 47, F.lit("true")),
+                        F.lit("duplicate_keyfingerprint"),
+                        F.when(F.col("n") > 1, F.lit("true")),
+                    ),
+                    lambda _, v: v.isNotNull(),
+                ),
+            ),
+        )
+        .drop("fp", "n")
+    )
+    a = kps.select(F.col("id").alias("src_id"), fp.alias("fp"))
+    b = kps.select(F.col("id").alias("dst_id"), fp.alias("fp"))
+    pairs = a.join(b, "fp").where(F.col("src_id") < F.col("dst_id")).drop("fp")
+    edges = _edge_frame(pairs, "EC2KeyPair", "MATCHING_FINGERPRINT", "EC2KeyPair", update_tag)
+    if not store.stage_done(stage + ":marks", update_tag):
+        store.commit_partial(
+            marked, None, ["EC2KeyPair"], [], stage + ":marks", update_tag
+        )
+    if not store.stage_done(stage + ":edges", update_tag):
+        store.upsert(None, edges, stage + ":edges", update_tag)
+    _cleanup_rel(store, "MATCHING_FINGERPRINT", update_tag, stage)
+
+
+def link_lambda_ecr_images(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """aws_lambda_ecr.json: (AWSLambda)-[:HAS]->(ECRImage) where
+    image.digest = 'sha256:' + lambda.codesha256, plus the stale-HAS delete
+    leg.  The digest equality is a plain equi-join — the reference's
+    COLLECT/UNWIND batching is a Neo4j memory workaround Spark doesn't need."""
+    stage = "analysis:aws_lambda_ecr"
+    lam = (
+        store.nodes(labels=["AWSLambda"])
+        .where(F.element_at("props", "codesha256").isNotNull())
+        .select(
+            F.col("id").alias("src_id"),
+            F.concat(F.lit("sha256:"), F.element_at("props", "codesha256")).alias("digest"),
+        )
+    )
+    img = store.nodes(labels=["ECRImage"]).select(F.col("id").alias("digest"))
+    pairs = lam.join(F.broadcast(img), "digest").select(
+        "src_id", F.col("digest").alias("dst_id")
+    )
+    edges = _edge_frame(pairs, "AWSLambda", "HAS", "ECRImage", update_tag)
+    if not store.stage_done(stage + ":edges", update_tag):
+        store.upsert(None, edges, stage + ":edges", update_tag)
+    _cleanup_rel(store, "HAS", update_tag, stage)
+
+
+def _mark_label(
+    store: GraphStore,
+    label: str,
+    mark_key: str,
+    positive,
+    stage: str,
+    update_tag: int,
+    extra: dict[str, str] | None = None,
+) -> None:
+    """Shared flag-job shape (eks/gke exposure, gke basic-auth): clear the
+    mark label-wide, set it where ``positive`` (a Column over the node row)
+    holds.  One label-slice rewrite."""
+    nodes = store.nodes(labels=[label])
+    marks = {mark_key: "true", **(extra or {})}
+    mark_map = F.create_map(*[c for k, v in marks.items() for c in (F.lit(k), F.lit(v))])
+    out = nodes.withColumn(
+        "props",
+        F.when(
+            positive,
+            F.map_concat(
+                _strip_keys_keepempty(F.col("props"), *marks.keys()), mark_map
+            ),
+        ).otherwise(_strip_keys(F.col("props"), *marks.keys())),
+    )
+    store.commit_partial(out, None, [label], [], stage, update_tag)
+
+
+def eks_exposure(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """aws_eks_asset_exposure.json: EKSCluster.endpoint_public_access ->
+    exposed_internet = true (cleared first)."""
+    stage = "analysis:aws_eks_exposure"
+    if store.stage_done(stage, update_tag):
+        return
+    _mark_label(
+        store,
+        "EKSCluster",
+        "exposed_internet",
+        F.element_at("props", "endpoint_public_access") == "true",
+        stage,
+        update_tag,
+    )
+
+
+def gke_exposure(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """gcp_gke_asset_exposure.json: private_nodes = false OR
+    private_endpoint_enabled = false OR master_authorized_networks = false
+    -> exposed_internet = true."""
+    stage = "analysis:gcp_gke_exposure"
+    if store.stage_done(stage, update_tag):
+        return
+    p = lambda k: F.element_at("props", k)  # noqa: E731
+    _mark_label(
+        store,
+        "GKECluster",
+        "exposed_internet",
+        (p("private_nodes") == "false")
+        | (p("private_endpoint_enabled") == "false")
+        | (p("master_authorized_networks") == "false"),
+        stage,
+        update_tag,
+    )
+
+
+def gke_basic_auth(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """gcp_gke_basic_auth.json: masterauth username AND password both
+    non-empty -> basic_auth = true."""
+    stage = "analysis:gcp_gke_basic_auth"
+    if store.stage_done(stage, update_tag):
+        return
+    p = lambda k: F.element_at("props", k)  # noqa: E731
+    _mark_label(
+        store,
+        "GKECluster",
+        "basic_auth",
+        p("masterauth_username").isNotNull()
+        & (p("masterauth_username") != "")
+        & p("masterauth_password").isNotNull()
+        & (p("masterauth_password") != ""),
+        stage,
+        update_tag,
+    )
+
+
+def gcp_inet_exposure(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """gcp_compute_asset_inet_exposure.json, set-wise:
+
+      1. FIREWALL_INGRESS edges: INGRESS firewalls attach to instances via
+         (inst)-[:TAGGED]->(tag)-[:TARGET_TAG]->(fw) in the same VPC, or —
+         for firewalls with no target tags and no target service accounts —
+         to every instance in the firewall's VPC (the reference's two MERGE
+         statements), with the stale-edge delete leg.
+      2. exposed_internet/exposed_internet_type='direct' marks: an instance
+         with a public IP is exposed iff some attached ALLOW rule from
+         0.0.0.0/0 survives every attached same-protocol DENY rule — the
+         reference's OPTIONAL MATCH row condition (deny absent, OR deny on a
+         lower-priority firewall, OR allow ports outside the deny range)
+         restated as an allow x deny left join.
+
+    All joins are equi-joins on fw/vpc/tag ids; the attach fan-out shuffles
+    on vpc_id (the skew axis for mega-VPCs — AQE splits those).
+    """
+    stage = "analysis:gcp_inet_exposure"
+    E = store.edges
+    fw = store.nodes(labels=["GCPFirewall"]).select(
+        F.col("id").alias("fw_id"),
+        F.element_at("props", "priority").cast("long").alias("priority"),
+        F.element_at("props", "direction").alias("direction"),
+        F.element_at("props", "has_target_service_accounts").alias("htsa"),
+    )
+    ingress = fw.where(F.col("direction") == "INGRESS")
+    tagged_e = E(rel_labels=["TAGGED"]).select(
+        F.col("src_id").alias("inst_id"), F.col("dst_id").alias("tag_id")
+    )
+    target_e = E(rel_labels=["TARGET_TAG"]).select(
+        F.col("src_id").alias("tag_id"), F.col("dst_id").alias("fw_id")
+    )
+    member_e = E(rel_labels=["MEMBER_OF_GCP_VPC"]).select(
+        F.col("src_id").alias("inst_id"), F.col("dst_id").alias("vpc_id")
+    )
+    fw_vpc = (
+        E(rel_labels=["RESOURCE"])
+        .where((F.col("src_label") == "GCPVpc") & (F.col("dst_label") == "GCPFirewall"))
+        .select(F.col("src_id").alias("vpc_id"), F.col("dst_id").alias("fw_id"))
+    )
+    tag_path = (
+        tagged_e.join(target_e, "tag_id")
+        .join(member_e, "inst_id")
+        .join(fw_vpc, ["vpc_id", "fw_id"])
+        .join(ingress.select("fw_id"), "fw_id", "left_semi")
+        .select("fw_id", "inst_id")
+    )
+    untargeted = ingress.where(F.col("htsa") == "false").join(
+        target_e.select("fw_id").distinct(), "fw_id", "left_anti"
+    )
+    open_path = (
+        member_e.join(fw_vpc, "vpc_id")
+        .join(untargeted.select("fw_id"), "fw_id", "left_semi")
+        .select("fw_id", "inst_id")
+    )
+    attach = tag_path.unionByName(open_path).distinct()
+
+    edges = _edge_frame(
+        attach.select(F.col("fw_id").alias("src_id"), F.col("inst_id").alias("dst_id")),
+        "GCPFirewall",
+        "FIREWALL_INGRESS",
+        "GCPInstance",
+        update_tag,
+    )
+    if not store.stage_done(stage + ":edges", update_tag):
+        store.upsert(None, edges, stage + ":edges", update_tag)
+    _cleanup_rel(store, "FIREWALL_INGRESS", update_tag, stage + ":edge_cleanup")
+
+    rules = store.nodes(labels=["GCPIpRule"]).select(
+        F.col("id").alias("rule_id"),
+        F.element_at("props", "action").alias("action"),
+        F.element_at("props", "protocol").alias("protocol"),
+        F.element_at("props", "fromport").cast("long").alias("fromport"),
+        F.element_at("props", "toport").cast("long").alias("toport"),
+        F.element_at("props", "cidr").alias("cidr"),
+    )
+    allow_e = E(rel_labels=["ALLOWED_BY"]).select(
+        F.col("src_id").alias("rule_id"), F.col("dst_id").alias("fw_id")
+    )
+    deny_e = E(rel_labels=["DENIED_BY"]).select(
+        F.col("src_id").alias("rule_id"), F.col("dst_id").alias("fw_id")
+    )
+    allows = (
+        attach.join(allow_e, "fw_id")
+        .join(rules.where((F.col("action") == "allow") & (F.col("cidr") == "0.0.0.0/0")), "rule_id")
+        .join(fw.select("fw_id", F.col("priority").alias("a_pri")), "fw_id")
+        .select("inst_id", "protocol", "a_pri", F.col("fromport").alias("a_from"), F.col("toport").alias("a_to"))
+    )
+    denies = (
+        attach.join(deny_e, "fw_id")
+        .join(rules.where(F.col("action") == "deny"), "rule_id")
+        .join(fw.select("fw_id", F.col("priority").alias("d_pri")), "fw_id")
+        .select(
+            # renamed join keys: allows/denies share the `attach` lineage, so
+            # joining on same-named columns would resolve to ONE attribute (a
+            # trivially-true predicate) — the classic self-join ambiguity
+            F.col("inst_id").alias("d_inst_id"),
+            F.col("protocol").alias("d_protocol"),
+            "d_pri",
+            F.col("fromport").alias("d_from"),
+            F.col("toport").alias("d_to"),
+        )
+    )
+    pairs = allows.join(
+        denies,
+        (F.col("inst_id") == F.col("d_inst_id")) & (F.col("protocol") == F.col("d_protocol")),
+        "left",
+    )
+    survives = (
+        F.col("d_pri").isNull()
+        | (F.col("d_pri") > F.col("a_pri"))
+        | ~F.col("a_from").between(F.col("d_from"), F.col("d_to"))
+        | ~F.col("a_to").between(F.col("d_from"), F.col("d_to"))
+    )
+    exposed_ids = (
+        pairs.where(survives).select(allows["inst_id"].alias("id")).distinct()
+    )
+    inst = store.nodes(labels=["GCPInstance"])
+    has_ip = F.element_at("props", "public_ip").isNotNull()
+    marked = (
+        inst.join(F.broadcast(exposed_ids), ["id"], "left_semi")
+        .where(has_ip)
+        .withColumn(
+            "props",
+            F.map_concat(
+                _strip_keys_keepempty(
+                    F.col("props"), "exposed_internet", "exposed_internet_type"
+                ),
+                F.create_map(
+                    F.lit("exposed_internet"), F.lit("true"),
+                    F.lit("exposed_internet_type"), F.lit("direct"),
+                ),
+            ),
+        )
+    )
+    rest = inst.join(
+        F.broadcast(marked.select("id")), ["id"], "left_anti"
+    ).withColumn(
+        "props",
+        _strip_keys(F.col("props"), "exposed_internet", "exposed_internet_type"),
+    )
+    if not store.stage_done(stage, update_tag):
+        store.commit_partial(
+            rest.unionByName(marked), None, ["GCPInstance"], [], stage, update_tag
+        )

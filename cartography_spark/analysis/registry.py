@@ -29,16 +29,31 @@ def default_jobs() -> list[AnalysisJob]:
     from cartography_spark.analysis.exposure import mark_exposure
     from cartography_spark.analysis.jobs import (
         ec2_iam_instanceprofiles,
+        eks_exposure,
+        gcp_inet_exposure,
+        gke_basic_auth,
+        gke_exposure,
+        keypair_analysis,
         link_humans,
+        link_lambda_ecr_images,
         mark_foreign_accounts,
         mark_s3_anonymous,
     )
 
+    # One entry per reference JSON; aws_ec2_iaminstance.json is a duplicate
+    # of aws_ec2_iaminstanceprofile.json (identical statements) so it shares
+    # the ec2_iam_instanceprofiles implementation.
     return [
         AnalysisJob("aws_asset_exposure", mark_exposure),
+        AnalysisJob("aws_eks_exposure", eks_exposure),
         AnalysisJob("aws_foreign_accounts", mark_foreign_accounts),
         AnalysisJob("aws_s3acl", mark_s3_anonymous),
         AnalysisJob("aws_ec2_iaminstanceprofile", ec2_iam_instanceprofiles),
+        AnalysisJob("aws_ec2_keypair", keypair_analysis),
+        AnalysisJob("aws_lambda_ecr", link_lambda_ecr_images),
+        AnalysisJob("gcp_inet_exposure", gcp_inet_exposure),
+        AnalysisJob("gcp_gke_exposure", gke_exposure),
+        AnalysisJob("gcp_gke_basic_auth", gke_basic_auth),
         AnalysisJob("human_link", link_humans),
     ]
 

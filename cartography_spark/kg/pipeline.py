@@ -17,8 +17,10 @@ from cartography_spark.core.store import GraphStore
 from cartography_spark.kg.materialize import sync_documents
 from cartography_spark.modules import aws_iam, aws_tags, okta, permissions
 from cartography_spark.modules.aws_base import sync_accounts
-from cartography_spark.modules.aws_ec2 import sync_ec2
+from cartography_spark.modules.aws_ec2 import sync_ec2, sync_keypairs
+from cartography_spark.modules.aws_eks import sync_eks
 from cartography_spark.modules.aws_emr import sync_emr
+from cartography_spark.modules.aws_lambda import sync_lambda_ecr
 from cartography_spark.modules.aws_s3 import sync_s3
 from cartography_spark.modules.azure import sync_azure
 from cartography_spark.modules.gcp import sync_gcp
@@ -92,7 +94,7 @@ def run_sync(
     sync_s3(store, buckets, fx.s3_acls(spark, sf_dir), update_tag)
 
     # EC2: security groups, instances, inbound rules, IP ranges (exposure +
-    # iaminstanceprofile analyses walk these)
+    # iaminstanceprofile analyses walk these), key pairs (keypair analysis)
     sync_ec2(
         store,
         fx.ec2_instances(spark, sf_dir, variant),
@@ -100,14 +102,31 @@ def run_sync(
         fx.ec2_sg_rules(spark, sf_dir),
         update_tag,
     )
+    sync_keypairs(store, fx.ec2_keypairs(spark, sf_dir, variant), update_tag)
+
+    # Lambda + ECR (the aws_lambda_ecr analysis joins them) and EKS (the
+    # eks exposure analysis marks them)
+    sync_lambda_ecr(
+        store,
+        fx.lambda_functions(spark, sf_dir),
+        fx.ecr_images(spark, sf_dir),
+        update_tag,
+    )
+    sync_eks(store, fx.eks_clusters(spark, sf_dir, variant), update_tag)
 
     # GCP + Azure: the non-AWS providers (schema compiler generality across
-    # id grammars — GCP self-links, Azure resource URIs)
+    # id grammars — GCP self-links, Azure resource URIs); the GCP network
+    # stack (vpc/firewall/rule/tag) feeds the inet-exposure analysis
     sync_gcp(
         store,
         fx.gcp_projects(spark, sf_dir),
         fx.gcp_instances(spark, sf_dir),
         update_tag,
+        vpcs=fx.gcp_vpcs(spark, sf_dir),
+        instance_net=fx.gcp_instance_net(spark, sf_dir),
+        firewalls=fx.gcp_firewalls(spark, sf_dir),
+        fw_rules=fx.gcp_fw_rules(spark, sf_dir),
+        gke=fx.gke_clusters(spark, sf_dir),
     )
     sync_azure(
         store,

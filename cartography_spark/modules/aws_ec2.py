@@ -90,6 +90,33 @@ IP_RANGE_SCHEMA = NodeSchema(
 )
 
 
+EC2_KEYPAIR_SCHEMA = NodeSchema(
+    # Reference intel/aws/ec2/key_pairs.py:11-43: EC2KeyPair{id: arn} with
+    # keyfingerprint; user_uploaded / duplicate_keyfingerprint /
+    # MATCHING_FINGERPRINT come from aws_ec2_keypair_analysis.json at sync
+    # end, never from load.
+    label="EC2KeyPair",
+    id=PropertyRef("keypair_arn"),
+    properties={
+        "name": PropertyRef("name"),
+        "keyfingerprint": PropertyRef("keyfingerprint", extra_index=True),
+        "account_id": PropertyRef("account_id"),
+    },
+    sub_resource_rel=account_resource_rel(),
+)
+
+
+def sync_keypairs(store: GraphStore, keypairs: DataFrame, update_tag: int) -> None:
+    if store.stage_done("aws:ec2:keypairs", update_tag):
+        return
+    store.upsert(
+        compile_nodes(keypairs, EC2_KEYPAIR_SCHEMA, update_tag),
+        compile_edges(keypairs, EC2_KEYPAIR_SCHEMA, store.nodes(), update_tag),
+        "aws:ec2:keypairs",
+        update_tag,
+    )
+
+
 def sync_ec2(
     store: GraphStore,
     instances: DataFrame,

@@ -622,3 +622,243 @@ def azure_vms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("eastus").alias("location"),
         sub.alias("subscription_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth: keypairs, lambda/ECR, EKS, GKE, GCP network stack
+# (fixture analogs of reference tests/data/aws/{ec2,eks,lambda}, gcp/compute;
+#  formulas stay pure modular arithmetic + concat + md5 + rpad so the DuckDB
+#  oracle recomputes them exactly)
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def ec2_keypairs(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
+    """EC2 key pairs from supplier (reference intel/aws/ec2/key_pairs.py).
+
+    Fingerprint shapes drive aws_ec2_keypair_analysis.json: 47-char MD5-form
+    fingerprints (s_suppkey % 5 == 0) are the user-uploaded class; 59-char
+    ones are AWS-generated.  Bodies collide pairwise (key floored to the
+    nearest 10 / nearest even) so MATCHING_FINGERPRINT has deterministic
+    positives at every sf.  Columns: keypair_arn, name, keyfingerprint,
+    account_id.
+    """
+    s = _variant_filter(read_table(spark, sf_dir, "supplier"), "s_suppkey", variant)
+    body47 = F.rpad(
+        F.concat(F.lit("fpu-"), (F.col("s_suppkey") - F.col("s_suppkey") % 10).cast("string")),
+        47, "x",
+    )
+    body59 = F.rpad(
+        F.concat(F.lit("fp-"), (F.col("s_suppkey") - F.col("s_suppkey") % 2).cast("string")),
+        59, "x",
+    )
+    return s.select(
+        F.concat(
+            F.lit("arn:aws:ec2:us-east-1:"), _acct(F.col("s_nationkey")),
+            F.lit(":key-pair/kp-"), F.col("s_suppkey").cast("string"),
+        ).alias("keypair_arn"),
+        F.concat(F.lit("kp-"), F.col("s_suppkey").cast("string")).alias("name"),
+        F.when((F.col("s_suppkey") % 5) == 0, body47).otherwise(body59).alias("keyfingerprint"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS Lambda functions from orders (o_orderkey % 10 == 0; reference
+    intel/aws/lambda_function.py).  ``codesha256`` keys a 40-way shared pool
+    so several functions reference one container image (aws_lambda_ecr.json
+    joins on it).  Columns: arn, name, codesha256, account_id."""
+    o = read_table(spark, sf_dir, "orders").where((F.col("o_orderkey") % 10) == 0)
+    k = ((F.col("o_orderkey") / 10).cast("long") % 40).cast("string")
+    return o.select(
+        F.concat(
+            F.lit("arn:aws:lambda:us-east-1:"), _acct(F.col("o_custkey") % 25),
+            F.lit(":function:fn-"), F.col("o_orderkey").cast("string"),
+        ).alias("arn"),
+        F.concat(F.lit("fn-"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.md5(F.concat(F.lit("code-"), k)).alias("codesha256"),
+        _acct(F.col("o_custkey") % 25).alias("account_id"),
+    )
+
+
+@plan_memo
+def ecr_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECR images (reference intel/aws/ecr.py): one per code-pool key k in
+    0..39 except k % 3 == 2 — those lambdas deploy zip archives, not images,
+    so the HAS join has deterministic misses.  Columns: digest, uri,
+    account_id."""
+    p = read_table(spark, sf_dir, "part")
+    ks = p.select((F.col("p_partkey") % 40).alias("k")).distinct().where(
+        (F.col("k") % 3) != 2
+    )
+    kstr = F.col("k").cast("string")
+    return ks.select(
+        F.concat(F.lit("sha256:"), F.md5(F.concat(F.lit("code-"), kstr))).alias("digest"),
+        F.concat(
+            _acct(F.col("k") % 25), F.lit(".dkr.ecr.us-east-1.amazonaws.com/repo-"), kstr
+        ).alias("uri"),
+        _acct(F.col("k") % 25).alias("account_id"),
+    )
+
+
+@plan_memo
+def eks_clusters(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
+    """EKS clusters from supplier (s_suppkey % 3 == 0; reference
+    intel/aws/eks.py).  Even keys expose a public endpoint — the
+    aws_eks_asset_exposure.json positive class.  Columns: arn, name,
+    endpoint_public_access, account_id."""
+    s = _variant_filter(read_table(spark, sf_dir, "supplier"), "s_suppkey", variant)
+    s = s.where((F.col("s_suppkey") % 3) == 0)
+    return s.select(
+        F.concat(
+            F.lit("arn:aws:eks:us-east-1:"), _acct(F.col("s_nationkey")),
+            F.lit(":cluster/eks-"), F.col("s_suppkey").cast("string"),
+        ).alias("arn"),
+        F.concat(F.lit("eks-"), F.col("s_suppkey").cast("string")).alias("name"),
+        ((F.col("s_suppkey") % 2) == 0).cast("string").alias("endpoint_public_access"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def gke_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GKE clusters from part (p_partkey % 45 == 0; reference
+    intel/gcp/gke.py).  Flag mix drives gcp_gke_asset_exposure (private
+    nodes/endpoint/authorized networks) and gcp_gke_basic_auth (masterauth
+    username+password both set).  Columns: self_link, name, project_id,
+    private_nodes, private_endpoint_enabled, master_authorized_networks,
+    masterauth_username, masterauth_password."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 45) == 0)
+    j = (F.col("p_partkey") / 45).cast("long")
+    proj = F.concat(F.lit("projects/proj-"), (j % 25).cast("string"))
+    return p.select(
+        F.concat(
+            proj, F.lit("/locations/us-east1/clusters/gke-"), F.col("p_partkey").cast("string")
+        ).alias("self_link"),
+        F.concat(F.lit("gke-"), F.col("p_partkey").cast("string")).alias("name"),
+        proj.alias("project_id"),
+        ((F.col("p_partkey") % 2) == 0).cast("string").alias("private_nodes"),
+        ((j % 3) != 1).cast("string").alias("private_endpoint_enabled"),
+        ((j % 2) == 0).cast("string").alias("master_authorized_networks"),
+        F.when((j % 4) == 0, F.lit("admin")).otherwise(F.lit("")).alias("masterauth_username"),
+        F.when((j % 3) == 0, F.lit("hunter2")).otherwise(F.lit("")).alias("masterauth_password"),
+    )
+
+
+@plan_memo
+def gcp_vpcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One VPC per project (reference intel/gcp/compute.py transform_gcp_vpcs).
+    Columns: vpc_id, name, project_id."""
+    n = read_table(spark, sf_dir, "nation")
+    proj = F.concat(F.lit("projects/proj-"), F.col("n_nationkey").cast("string"))
+    return n.select(
+        F.concat(proj, F.lit("/global/networks/vpc-"), F.col("n_nationkey").cast("string")).alias("vpc_id"),
+        F.concat(F.lit("vpc-"), F.col("n_nationkey").cast("string")).alias("name"),
+        proj.alias("project_id"),
+    )
+
+
+@plan_memo
+def gcp_instance_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network attachment for GCP instances (same population as
+    gcp_instances): VPC membership, one network tag, and a public IP on
+    every second instance (the gcp_compute_asset_inet_exposure access-config
+    precondition).  Columns: instance_id, project_id, vpc_id, tag,
+    public_ip."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 40) == 0)
+    j = (F.col("p_partkey") / 40).cast("long")
+    nk = (j % 25).cast("string")
+    proj = F.concat(F.lit("projects/proj-"), nk)
+    return p.select(
+        F.concat(
+            proj, F.lit("/zones/us-east1-b/instances/inst-"), F.col("p_partkey").cast("string")
+        ).alias("instance_id"),
+        proj.alias("project_id"),
+        F.concat(proj, F.lit("/global/networks/vpc-"), nk).alias("vpc_id"),
+        F.concat(F.lit("tag-"), nk, F.lit("-"), (j % 3).cast("string")).alias("tag"),
+        F.when(
+            (F.col("p_partkey") % 80) == 0,
+            F.concat(F.lit("34."), nk, F.lit(".0."), ((F.col("p_partkey") / 80).cast("long") % 250).cast("string")),
+        ).alias("public_ip"),
+    )
+
+
+@plan_memo
+def gcp_firewalls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three INGRESS firewalls per project (reference
+    intel/gcp/compute.py transform_gcp_firewalls):
+      * fw-{n}-tagged — priority 1000, applies via TARGET_TAG tag-{n}-0
+      * fw-{n}-open   — priority 900, no target tags (applies VPC-wide)
+      * fw-{n}-deny   — carries the deny rule; priority 800 when n % 4 == 0
+        (outranks every allow -> blocks) else 1100 (outranked -> passes)
+    Columns: fw_id, name, project_id, vpc_id, priority, direction,
+    has_target_service_accounts, target_tag (nullable)."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    proj = F.concat(F.lit("projects/proj-"), nk)
+    vpc = F.concat(proj, F.lit("/global/networks/vpc-"), nk)
+    fw = F.explode(
+        F.array(
+            F.struct(F.lit("tagged").alias("kind"), F.lit(1000).cast("long").alias("priority")),
+            F.struct(F.lit("open").alias("kind"), F.lit(900).cast("long").alias("priority")),
+            F.struct(
+                F.lit("deny").alias("kind"),
+                F.when((F.col("n_nationkey") % 4) == 0, F.lit(800)).otherwise(F.lit(1100)).cast("long").alias("priority"),
+            ),
+        )
+    ).alias("fw")
+    base = n.select("n_nationkey", fw)
+    nk2 = F.col("n_nationkey").cast("string")
+    proj2 = F.concat(F.lit("projects/proj-"), nk2)
+    return base.select(
+        F.concat(
+            proj2, F.lit("/global/firewalls/fw-"), nk2, F.lit("-"), F.col("fw.kind")
+        ).alias("fw_id"),
+        F.concat(F.lit("fw-"), nk2, F.lit("-"), F.col("fw.kind")).alias("name"),
+        proj2.alias("project_id"),
+        F.concat(proj2, F.lit("/global/networks/vpc-"), nk2).alias("vpc_id"),
+        F.col("fw.priority").alias("priority"),
+        F.lit("INGRESS").alias("direction"),
+        F.lit("false").alias("has_target_service_accounts"),
+        F.when(
+            F.col("fw.kind") == "tagged", F.concat(F.lit("tag-"), nk2, F.lit("-0"))
+        ).alias("target_tag"),
+    )
+
+
+@plan_memo
+def gcp_fw_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCPIpRule rows per firewall (reference models allowed/denied IpRules
+    with IpRange membership):
+      * tagged fw: ALLOW tcp 443-443 from 0.0.0.0/0 when n % 2 == 0, else
+        from 10.0.0.0/8 (internal-only -> not exposed)
+      * open fw:   ALLOW tcp 22-22  from 0.0.0.0/0 when n % 3 == 0, else
+        from 10.0.0.0/8
+      * deny fw:   DENY  tcp 0-65535 from 0.0.0.0/0 always
+    Columns: rule_id, fw_id, action, protocol, fromport, toport, cidr."""
+    fws = gcp_firewalls(spark, sf_dir)
+    n = F.regexp_extract("fw_id", r"proj-(\d+)/", 1).cast("long")
+    kind = F.regexp_extract("fw_id", r"-(tagged|open|deny)$", 1)
+    action = F.when(kind == "deny", F.lit("deny")).otherwise(F.lit("allow"))
+    fromport = (
+        F.when(kind == "tagged", F.lit(443)).when(kind == "open", F.lit(22)).otherwise(F.lit(0))
+    ).cast("long")
+    toport = (
+        F.when(kind == "tagged", F.lit(443)).when(kind == "open", F.lit(22)).otherwise(F.lit(65535))
+    ).cast("long")
+    cidr = (
+        F.when(kind == "deny", F.lit("0.0.0.0/0"))
+        .when((kind == "tagged") & ((n % 2) == 0), F.lit("0.0.0.0/0"))
+        .when((kind == "open") & ((n % 3) == 0), F.lit("0.0.0.0/0"))
+        .otherwise(F.lit("10.0.0.0/8"))
+    )
+    return fws.select(
+        F.concat(F.col("fw_id"), F.lit("/rule/0")).alias("rule_id"),
+        F.col("fw_id"),
+        action.alias("action"),
+        F.lit("tcp").alias("protocol"),
+        fromport.alias("fromport"),
+        toport.alias("toport"),
+        cidr.alias("cidr"),
+    )

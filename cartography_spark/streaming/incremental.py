@@ -85,3 +85,70 @@ def stateful_first_seen(stream: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Streaming sessionization as a custom stateful operator.
+
+    Per-user state carries (last event epoch-second, session count, event
+    count); each micro-batch folds its rows in (ts, event_id) order and
+    emits the user's cumulative totals (update mode), so the LAST emitted
+    row per user equals the batch window/lag sessionization — the
+    equivalence the events_sessions_stateful driver query asserts against
+    the same DuckDB oracle as the batch form.
+
+    Arrow moves each group's rows as pandas frames (vectorized, no per-row
+    Python); state is three longs per user, so a 10^9-user keyspace is
+    ~24 GB spread across executors — partitioned by the groupBy key like
+    any shuffle.  Cross-batch correctness assumes batches arrive in event-
+    time order (the standard file-source contract; late data would need the
+    watermarked session-window variant instead).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, n_sess, n_ev = state.get
+        else:
+            last_ts, n_sess, n_ev = None, 0, 0
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        # whole-second epochs to match the batch form's unix_timestamp()
+        secs = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        for ts in secs:
+            if last_ts is None or ts - last_ts > gap_s:
+                n_sess += 1
+            last_ts = int(ts)
+            n_ev += 1
+        state.update((last_ts, n_sess, n_ev))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    return (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -89,3 +89,137 @@ def test_orphan_cleanup(spark, store):
     cleanup_orphans(store, "AWSPrincipal", "AWSAccount", T1)
     left = {r.id for r in store.nodes().where(F.col("label") == "AWSPrincipal").collect()}
     assert left == {"arn:p1"}
+
+
+def test_new_analysis_jobs_match_fixture_dataflow(spark, store):
+    """Store-side round-2 jobs (keypair, lambda-ecr, eks, gke, gcp inet)
+    produce exactly the sets the fixture-derivation driver queries compute."""
+    import __spark_entry__ as entry
+    from cartography_spark.analysis.jobs import (
+        eks_exposure,
+        gcp_inet_exposure,
+        gke_basic_auth,
+        gke_exposure,
+        keypair_analysis,
+        link_lambda_ecr_images,
+    )
+    from cartography_spark.modules.aws_base import sync_accounts
+    from cartography_spark.modules.aws_ec2 import sync_keypairs
+    from cartography_spark.modules.aws_eks import sync_eks
+    from cartography_spark.modules.aws_lambda import sync_lambda_ecr
+    from cartography_spark.modules.gcp import sync_gcp
+    from cartography_spark.sources import fixtures as fx
+
+    sync_accounts(store, fx.aws_accounts(spark, SF_DIR), T1)
+    sync_keypairs(store, fx.ec2_keypairs(spark, SF_DIR), T1)
+    sync_lambda_ecr(
+        store, fx.lambda_functions(spark, SF_DIR), fx.ecr_images(spark, SF_DIR), T1
+    )
+    sync_eks(store, fx.eks_clusters(spark, SF_DIR), T1)
+    sync_gcp(
+        store,
+        fx.gcp_projects(spark, SF_DIR),
+        fx.gcp_instances(spark, SF_DIR),
+        T1,
+        vpcs=fx.gcp_vpcs(spark, SF_DIR),
+        instance_net=fx.gcp_instance_net(spark, SF_DIR),
+        firewalls=fx.gcp_firewalls(spark, SF_DIR),
+        fw_rules=fx.gcp_fw_rules(spark, SF_DIR),
+        gke=fx.gke_clusters(spark, SF_DIR),
+    )
+    for job in (
+        keypair_analysis,
+        link_lambda_ecr_images,
+        eks_exposure,
+        gke_exposure,
+        gke_basic_auth,
+        gcp_inet_exposure,
+    ):
+        job(store, spark, SF_DIR, T1)
+
+    E, N = store.edges, store.nodes
+
+    got_pairs = {
+        (r.src_id, r.dst_id)
+        for r in E(rel_labels=["MATCHING_FINGERPRINT"]).collect()
+    }
+    want_pairs = {
+        (r.arn_a, r.arn_b)
+        for r in entry._q_kg_keypair_dupes(spark, SF_DIR).collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+
+    got_has = {(r.src_id, r.dst_id) for r in E(rel_labels=["HAS"]).collect()}
+    want_has = {
+        (r.lambda_arn, r.digest) for r in entry._q_kg_lambda_ecr(spark, SF_DIR).collect()
+    }
+    assert got_has == want_has and got_has
+
+    eks = N(labels=["EKSCluster"]).select(
+        "id", F.element_at("props", "exposed_internet").alias("x")
+    )
+    got_eks = {r.id for r in eks.where(F.col("x") == "true").collect()}
+    want_eks = {r.arn for r in entry._q_kg_eks_exposed(spark, SF_DIR).collect()}
+    assert got_eks == want_eks and got_eks
+
+    gke = N(labels=["GKECluster"]).select(
+        "id",
+        F.element_at("props", "exposed_internet").alias("x"),
+        F.element_at("props", "basic_auth").alias("b"),
+    ).collect()
+    want = {r.self_link: r for r in entry._q_kg_gke_flags(spark, SF_DIR).collect()}
+    assert {r.id for r in gke} == set(want)
+    for r in gke:
+        assert (r.x == "true") == (want[r.id].exposed_internet == "true")
+        assert (r.b == "true") == (want[r.id].basic_auth == "true")
+
+    got_fi = {
+        (r.src_id, r.dst_id) for r in E(rel_labels=["FIREWALL_INGRESS"]).collect()
+    }
+    want_fi = {
+        (r.fw_id, r.instance_id)
+        for r in entry._q_kg_gcp_fw_ingress(spark, SF_DIR).collect()
+    }
+    assert got_fi == want_fi and got_fi
+
+    gci = N(labels=["GCPInstance"]).select(
+        "id", F.element_at("props", "exposed_internet").alias("x")
+    )
+    got_exp = {r.id for r in gci.where(F.col("x") == "true").collect()}
+    want_exp = {r.instance_id for r in entry._q_kg_gcp_exposed(spark, SF_DIR).collect()}
+    assert got_exp == want_exp  # empty at sf0.001 by formula — still must agree
+
+    # GCPInstance props from both write passes coexist (per-key merge):
+    one = N(labels=["GCPInstance"]).limit(1).collect()[0]
+    assert "name" in one.props and "vpc_id" in one.props
+
+
+def test_gcp_inet_exposure_nonempty_at_sf001(spark, store):
+    """Store-side GCP exposure at sf0.01, where the positive class is
+    NONEMPTY — guards the allow x deny join against self-join ambiguity
+    (a trivially-true join predicate would over-mark)."""
+    import __spark_entry__ as entry
+    from cartography_spark.analysis.jobs import gcp_inet_exposure
+    from cartography_spark.modules.gcp import sync_gcp
+    from cartography_spark.sources import fixtures as fx
+
+    SF01 = "/root/testdata/sf0.01"
+    sync_gcp(
+        store,
+        fx.gcp_projects(spark, SF01),
+        fx.gcp_instances(spark, SF01),
+        T1,
+        vpcs=fx.gcp_vpcs(spark, SF01),
+        instance_net=fx.gcp_instance_net(spark, SF01),
+        firewalls=fx.gcp_firewalls(spark, SF01),
+        fw_rules=fx.gcp_fw_rules(spark, SF01),
+    )
+    gcp_inet_exposure(store, spark, SF01, T1)
+    got = {
+        r.id
+        for r in store.nodes(labels=["GCPInstance"])
+        .where(F.element_at("props", "exposed_internet") == "true")
+        .collect()
+    }
+    want = {r.instance_id for r in entry._q_kg_gcp_exposed(spark, SF01).collect()}
+    assert got == want and got

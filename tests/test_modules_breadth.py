@@ -83,9 +83,13 @@ def test_analysis_jobs_store_roundtrip(spark, store):
     sync_humans(store, fx.humans(spark, SF), T1)
 
     ran = run_analysis_jobs(store, spark, SF, T1)
+    # full registry runs (one entry per reference analysis JSON); jobs whose
+    # labels weren't synced here are set-wise no-ops on empty slices
     assert set(ran) == {
-        "aws_asset_exposure", "aws_foreign_accounts", "aws_s3acl",
-        "aws_ec2_iaminstanceprofile", "human_link",
+        "aws_asset_exposure", "aws_eks_exposure", "aws_foreign_accounts",
+        "aws_s3acl", "aws_ec2_iaminstanceprofile", "aws_ec2_keypair",
+        "aws_lambda_ecr", "gcp_inet_exposure", "gcp_gke_exposure",
+        "gcp_gke_basic_auth", "human_link",
     }
     nodes, edges = store.nodes(), store.edges()
     # foreign accounts marked, inscope ones not

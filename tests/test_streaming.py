@@ -63,3 +63,44 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer's final per-user rows equal
+    the batch window/lag sessionization at sf0.001."""
+    import uuid
+
+    import __spark_entry__ as entry
+    from cartography_spark.sources.fixtures import read_table
+    from cartography_spark.streaming.incremental import sessionize_stateful
+
+    schema = read_table(spark, SF_DIR, "events").schema
+    name = "t_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stateful(
+            spark.readStream.schema(schema).parquet(f"{SF_DIR}/events.parque[t]")
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in t.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in entry._q_events_sessions(spark, SF_DIR).collect()
+    }
+    assert got == want and got
