@@ -933,6 +933,128 @@ def _q_kg_permission_can_list(spark, sf_dir):
     ).select("principal_arn", "resource_arn")
 
 
+def _q_kg_dns_records(spark, sf_dir):
+    """MEMBER_OF_DNS_ZONE edges via the schema->edge compiler: every DNS
+    record attached to its hosted zone (reference route53.py:58-127)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_route53 import DNS_RECORD_SCHEMA, DNS_ZONE_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    zones = compile_nodes(fx.dns_zones(spark, sf_dir), DNS_ZONE_SCHEMA, T1)
+    edges = compile_edges(fx.dns_records(spark, sf_dir), DNS_RECORD_SCHEMA, zones, T1)
+    return edges.select(
+        F.col("src_id").alias("record_id"), F.col("dst_id").alias("zoneid")
+    )
+
+
+def _q_kg_dns_cname_resolved(spark, sf_dir):
+    """CNAME -> A resolution (reference route53.py:29-43 link_aws_dns): the
+    DNS_POINTS_TO join on cname.value = a.name, carrying the resolved ip."""
+    from cartography_spark.sources import fixtures as fx
+
+    recs = fx.dns_records(spark, sf_dir)
+    cnames = recs.where("type = 'CNAME'").select(
+        F.col("record_id").alias("cname_id"), F.col("value").alias("target_name")
+    )
+    a_recs = recs.where("type = 'A'").select(
+        F.col("name").alias("target_name"), F.col("value").alias("ip")
+    )
+    return cnames.join(a_recs, "target_name").select("cname_id", "target_name", "ip")
+
+
+def _q_kg_dns_subzones(spark, sf_dir):
+    """SUBZONE delegation via the 5-hop graph derivation (reference
+    route53.py:205-230 link_sub_zones) over compiled node/edge frames."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_route53 import (
+        DNS_RECORD_SCHEMA,
+        DNS_ZONE_SCHEMA,
+        NAMESERVER_SCHEMA,
+        NS_RECORD_LINK_SCHEMA,
+        subzone_edges,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    zones = fx.dns_zones(spark, sf_dir)
+    recs = fx.dns_records(spark, sf_dir)
+    nss = fx.dns_nameservers(spark, sf_dir)
+    nodes = (
+        compile_nodes(zones, DNS_ZONE_SCHEMA, T1)
+        .unionByName(compile_nodes(recs, DNS_RECORD_SCHEMA, T1))
+        .unionByName(compile_nodes(nss, NAMESERVER_SCHEMA, T1))
+    )
+    edges = (
+        compile_edges(recs, DNS_RECORD_SCHEMA, nodes, T1)
+        .unionByName(compile_edges(nss, NAMESERVER_SCHEMA, nodes, T1))
+        .unionByName(compile_edges(recs.where("type = 'NS'"), NS_RECORD_LINK_SCHEMA, nodes, T1))
+    )
+    return subzone_edges(nodes, edges, T1).select(
+        F.col("src_id").alias("parent_zoneid"), F.col("dst_id").alias("subzone_id")
+    )
+
+
+def _q_kg_k8s_containers(spark, sf_dir):
+    """cluster -> namespace -> pod -> container chain (reference
+    pods.py:70-110): pods resolve their namespace by NAME (the reference's
+    scoped MATCH), containers attach by pod uid."""
+    from cartography_spark.sources import fixtures as fx
+
+    ns = fx.k8s_namespaces(spark, sf_dir).select(
+        F.col("uid").alias("namespace_uid"),
+        F.col("name").alias("namespace"),
+        F.col("cluster_uid"),
+    )
+    pods = fx.k8s_pods(spark, sf_dir).select(
+        F.col("uid").alias("pod_uid"), F.col("namespace")
+    )
+    cont = fx.k8s_containers(spark, sf_dir).select(
+        F.col("uid").alias("container_uid"), F.col("pod_uid"), F.col("image")
+    )
+    return (
+        cont.join(pods, "pod_uid")
+        .join(F.broadcast(ns), "namespace")
+        .select("container_uid", "pod_uid", "namespace_uid", "cluster_uid", "image")
+    )
+
+
+def _q_kg_k8s_lb_pods(spark, sf_dir):
+    """Internet-facing LoadBalancer services and the pods they serve —
+    SERVES_POD selector join (reference services.py:79-84), restricted to
+    the exposed service class."""
+    from cartography_spark.modules.kubernetes import serves_pod_edges
+    from cartography_spark.sources import fixtures as fx
+
+    lb = fx.k8s_services(spark, sf_dir).where("type = 'LoadBalancer'")
+    pods = fx.k8s_pods(spark, sf_dir)
+    return serves_pod_edges(lb, pods, T1).select(
+        F.col("src_id").alias("service_uid"), F.col("dst_id").alias("pod_uid")
+    )
+
+
+def _q_kg_k8s_ecr_images(spark, sf_dir):
+    """Cross-provider link: KubernetesContainer image_sha joining the
+    ECRImage digest space (the k8s analog of aws_lambda_ecr.json)."""
+    from cartography_spark.sources import fixtures as fx
+
+    cont = fx.k8s_containers(spark, sf_dir).select(
+        F.col("uid").alias("container_uid"), F.col("image_sha").alias("digest")
+    )
+    img = fx.ecr_images(spark, sf_dir).select("digest").distinct()
+    return cont.join(F.broadcast(img), "digest").select("container_uid", "digest")
+
+
+def _q_kg_rds_exposed(spark, sf_dir):
+    """RDS instances that are publicly accessible AND unencrypted — the
+    property-predicate analysis slice over reference rds.py fields."""
+    from cartography_spark.sources import fixtures as fx
+
+    return (
+        fx.rds_instances(spark, sf_dir)
+        .where("publicly_accessible = 'true' AND storage_encrypted = 'false'")
+        .select("arn", "endpoint_address")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_accounts": _q_kg_accounts,
@@ -963,6 +1085,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_azure_vms": _q_kg_azure_vms,
         "kg_two_tag_clusters": _q_kg_two_tag_clusters,
         "kg_permission_can_list": _q_kg_permission_can_list,
+        "kg_dns_records": _q_kg_dns_records,
+        "kg_dns_cname_resolved": _q_kg_dns_cname_resolved,
+        "kg_dns_subzones": _q_kg_dns_subzones,
+        "kg_k8s_containers": _q_kg_k8s_containers,
+        "kg_k8s_lb_pods": _q_kg_k8s_lb_pods,
+        "kg_k8s_ecr_images": _q_kg_k8s_ecr_images,
+        "kg_rds_exposed": _q_kg_rds_exposed,
         "kg_spans": _q_kg_spans,
         "kg_mentions": _q_kg_mentions,
         "kg_entity_links": _q_kg_entity_links,
@@ -1295,6 +1424,155 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_nationkey AS VARCHAR) || '.example.com' AS email,
                    'okta-' || CAST(c_custkey AS VARCHAR) AS okta_id
             FROM customer WHERE c_custkey % 6 = 0
+        """,
+        # Route53: record population + zone membership (fixtures.py dns_records)
+        "kg_dns_records": """
+            WITH zones AS (
+              SELECT 'Z' || CAST(n_nationkey AS VARCHAR) AS zoneid,
+                     'zone-' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS name
+              FROM nation
+              UNION ALL
+              SELECT 'ZSUB' || CAST(n_nationkey AS VARCHAR),
+                     'dev.zone-' || CAST(n_nationkey AS VARCHAR) || '.example.com'
+              FROM nation WHERE n_nationkey % 2 = 0
+            )
+            SELECT 'Z' || CAST(c_custkey % 25 AS VARCHAR) || '/host-' ||
+                   CAST(c_custkey AS VARCHAR) || '.zone-' ||
+                   CAST(c_custkey % 25 AS VARCHAR) || '.example.com/A' AS record_id,
+                   'Z' || CAST(c_custkey % 25 AS VARCHAR) AS zoneid
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT 'Z' || CAST(c_custkey % 25 AS VARCHAR) || '/alias-' ||
+                   CAST(c_custkey AS VARCHAR) || '.zone-' ||
+                   CAST(c_custkey % 25 AS VARCHAR) || '.example.com/CNAME',
+                   'Z' || CAST(c_custkey % 25 AS VARCHAR)
+            FROM customer WHERE c_custkey % 11 = 0
+            UNION ALL
+            SELECT zoneid || '/' || name || '/NS', zoneid FROM zones
+            UNION ALL
+            SELECT 'Z' || CAST(n_nationkey AS VARCHAR) || '/dev.zone-' ||
+                   CAST(n_nationkey AS VARCHAR) || '.example.com/NS',
+                   'Z' || CAST(n_nationkey AS VARCHAR)
+            FROM nation WHERE n_nationkey % 2 = 0
+        """,
+        # CNAME -> A resolution join on value = name (route53 link_aws_dns)
+        "kg_dns_cname_resolved": """
+            WITH a_recs AS (
+              SELECT 'host-' || CAST(c_custkey AS VARCHAR) || '.zone-' ||
+                     CAST(c_custkey % 25 AS VARCHAR) || '.example.com' AS target_name,
+                     '10.' || CAST(CAST(FLOOR(c_custkey / 7) AS BIGINT) % 250 AS VARCHAR) ||
+                     '.' || CAST(c_custkey % 250 AS VARCHAR) || '.1' AS ip
+              FROM customer WHERE c_custkey % 7 = 0
+            ),
+            cnames AS (
+              SELECT 'Z' || CAST(c_custkey % 25 AS VARCHAR) || '/alias-' ||
+                     CAST(c_custkey AS VARCHAR) || '.zone-' ||
+                     CAST(c_custkey % 25 AS VARCHAR) || '.example.com/CNAME' AS cname_id,
+                     'host-' || CAST(7 * CAST(FLOOR(c_custkey / 7) AS BIGINT) AS VARCHAR) ||
+                     '.zone-' || CAST((7 * CAST(FLOOR(c_custkey / 7) AS BIGINT)) % 25 AS VARCHAR) ||
+                     '.example.com' AS target_name
+              FROM customer WHERE c_custkey % 11 = 0
+            )
+            SELECT cname_id, c.target_name AS target_name, ip
+            FROM cnames c JOIN a_recs a ON a.target_name = c.target_name
+        """,
+        # SUBZONE delegation: the 5-hop join chain replicated relationally
+        "kg_dns_subzones": """
+            WITH zones AS (
+              SELECT 'Z' || CAST(n_nationkey AS VARCHAR) AS zoneid,
+                     'zone-' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS name
+              FROM nation
+              UNION ALL
+              SELECT 'ZSUB' || CAST(n_nationkey AS VARCHAR),
+                     'dev.zone-' || CAST(n_nationkey AS VARCHAR) || '.example.com'
+              FROM nation WHERE n_nationkey % 2 = 0
+            ),
+            ns_recs AS (
+              SELECT zoneid AS zone_id, name AS rec_name,
+                     'ns.' || zoneid || '.example.net' AS server
+              FROM zones
+              UNION ALL
+              SELECT 'Z' || CAST(n_nationkey AS VARCHAR),
+                     'dev.zone-' || CAST(n_nationkey AS VARCHAR) || '.example.com',
+                     'ns.ZSUB' || CAST(n_nationkey AS VARCHAR) || '.example.net'
+              FROM nation WHERE n_nationkey % 2 = 0
+            ),
+            official AS (
+              SELECT 'ns.' || zoneid || '.example.net' AS server, zoneid AS z2_id
+              FROM zones
+            )
+            SELECT DISTINCT r.zone_id AS parent_zoneid, o.z2_id AS subzone_id
+            FROM ns_recs r
+            JOIN official o ON o.server = r.server
+            JOIN zones z2 ON z2.zoneid = o.z2_id AND z2.name = r.rec_name
+            WHERE r.zone_id <> o.z2_id
+        """,
+        # Kubernetes: cluster -> namespace -> pod -> container chain
+        "kg_k8s_containers": """
+            WITH ns AS (
+              SELECT 'ns-' || CAST(n_nationkey AS VARCHAR) AS namespace_uid,
+                     'namespace-' || CAST(n_nationkey AS VARCHAR) AS namespace,
+                     'k8s-' || CAST(n_nationkey % 5 AS VARCHAR) AS cluster_uid
+              FROM nation
+            ),
+            pods AS (
+              SELECT 'pod-' || CAST(o_orderkey AS VARCHAR) AS pod_uid,
+                     'namespace-' ||
+                     CAST(CAST(o_orderkey / 13 AS BIGINT) % 25 AS VARCHAR) AS namespace,
+                     o_orderkey AS ok
+              FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            cont AS (
+              SELECT 'pod-' || CAST(ok AS VARCHAR) || '-c' || CAST(i AS VARCHAR) AS container_uid,
+                     pod_uid, namespace,
+                     'registry.example.com/app-' || CAST(ok % 40 AS VARCHAR) ||
+                     ':v' || CAST(ok % 7 AS VARCHAR) AS image
+              FROM pods, (VALUES (0), (1)) AS t(i)
+              WHERE i <= ok % 2
+            )
+            SELECT container_uid, pod_uid, namespace_uid, cluster_uid, image
+            FROM cont JOIN ns USING (namespace)
+        """,
+        # LoadBalancer services -> served pods (selector join)
+        "kg_k8s_lb_pods": """
+            WITH svc AS (
+              SELECT 'svc-' || CAST(s_suppkey AS VARCHAR) AS service_uid,
+                     s_nationkey AS nk, s_suppkey % 5 AS selector_mod
+              FROM supplier WHERE s_suppkey % 18 = 0
+            ),
+            pods AS (
+              SELECT 'pod-' || CAST(o_orderkey AS VARCHAR) AS pod_uid,
+                     CAST(o_orderkey / 13 AS BIGINT) % 25 AS nk,
+                     o_orderkey % 5 AS pod_mod
+              FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT service_uid, pod_uid
+            FROM pods JOIN svc ON svc.nk = pods.nk AND svc.selector_mod = pods.pod_mod
+        """,
+        # KubernetesContainer image_sha joining the ECRImage digest space
+        "kg_k8s_ecr_images": """
+            WITH cont AS (
+              SELECT 'pod-' || CAST(o_orderkey AS VARCHAR) || '-c' ||
+                     CAST(i AS VARCHAR) AS container_uid,
+                     'sha256:' || md5('code-' || CAST(o_orderkey % 40 AS VARCHAR)) AS digest
+              FROM orders, (VALUES (0), (1)) AS t(i)
+              WHERE o_orderkey % 13 = 0 AND i <= o_orderkey % 2
+            ),
+            img AS (
+              SELECT DISTINCT 'sha256:' || md5('code-' || CAST(k AS VARCHAR)) AS digest
+              FROM (SELECT p_partkey % 40 AS k FROM part) WHERE k % 3 <> 2
+            )
+            SELECT container_uid, cont.digest AS digest
+            FROM cont JOIN img ON img.digest = cont.digest
+        """,
+        # RDS: publicly accessible AND unencrypted instances
+        "kg_rds_exposed": f"""
+            SELECT 'arn:aws:rds:us-east-1:' || {ACCT.format(k='c_nationkey')} ||
+                   ':db:db-' || CAST(c_custkey AS VARCHAR) AS arn,
+                   'db-' || CAST(c_custkey AS VARCHAR) ||
+                   '.cluster.us-east-1.rds.example.com' AS endpoint_address
+            FROM customer
+            WHERE c_custkey % 17 = 0 AND c_custkey % 3 = 0 AND c_custkey % 2 = 1
         """,
         "kg_azure_vms": """
             SELECT 'sub-' || CAST(CAST(p_partkey / 35 AS BIGINT) % 5 AS VARCHAR) AS subscription_id,

@@ -21,7 +21,10 @@ from cartography_spark.modules.aws_ec2 import sync_ec2, sync_keypairs
 from cartography_spark.modules.aws_eks import sync_eks
 from cartography_spark.modules.aws_emr import sync_emr
 from cartography_spark.modules.aws_lambda import sync_lambda_ecr
+from cartography_spark.modules.aws_rds import sync_rds
+from cartography_spark.modules.aws_route53 import sync_route53
 from cartography_spark.modules.aws_s3 import sync_s3
+from cartography_spark.modules.kubernetes import sync_kubernetes
 from cartography_spark.modules.azure import sync_azure
 from cartography_spark.modules.gcp import sync_gcp
 from cartography_spark.modules.github import sync_github
@@ -113,6 +116,29 @@ def run_sync(
         update_tag,
     )
     sync_eks(store, fx.eks_clusters(spark, sf_dir, variant), update_tag)
+    sync_rds(store, fx.rds_instances(spark, sf_dir, variant), update_tag)
+
+    # Route53: zones, records, nameservers, CNAME/NS resolution links and
+    # the SUBZONE delegation derivation
+    sync_route53(
+        store,
+        fx.dns_zones(spark, sf_dir),
+        fx.dns_records(spark, sf_dir),
+        fx.dns_nameservers(spark, sf_dir),
+        update_tag,
+    )
+
+    # Kubernetes: cluster/namespace/pod/container/service/secret stack
+    sync_kubernetes(
+        store,
+        fx.k8s_clusters(spark, sf_dir),
+        fx.k8s_namespaces(spark, sf_dir),
+        fx.k8s_pods(spark, sf_dir, variant),
+        fx.k8s_containers(spark, sf_dir, variant),
+        fx.k8s_services(spark, sf_dir),
+        fx.k8s_secrets(spark, sf_dir),
+        update_tag,
+    )
 
     # GCP + Azure: the non-AWS providers (schema compiler generality across
     # id grammars — GCP self-links, Azure resource URIs); the GCP network

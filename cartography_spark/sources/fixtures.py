@@ -862,3 +862,264 @@ def gcp_fw_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         toport.alias("toport"),
         cidr.alias("cidr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (third batch): Route53 DNS, Kubernetes, RDS
+# (fixture analogs of reference intel/aws/route53.py, intel/kubernetes/*,
+#  intel/aws/rds.py; formulas stay pure modular arithmetic + concat + md5 so
+#  the DuckDB oracle recomputes them exactly)
+#
+#   parent zone    = Z{n_nationkey}, name zone-{n}.example.com          (25)
+#   subzone        = ZSUB{n}, name dev.zone-{n}.example.com   (n % 2 == 0)
+#   nameserver     = ns.{zoneid}.example.net                  (one per zone)
+#   A record       = host-{c}.zone-{c % 25}.example.com in Z{c % 25},
+#                    value 10.{(c/7) % 250}.{c % 250}.1       (c % 7 == 0)
+#   CNAME record   = alias-{c}.zone-{c % 25}.example.com in Z{c % 25},
+#                    value host-{t}.zone-{t % 25}.example.com,
+#                    t = 7 * floor(c / 7)                     (c % 11 == 0)
+#   NS record      = one per zone (name = zone name, server = own ns) plus a
+#                    delegation in each subzone's parent (name = subzone
+#                    name, server = subzone ns) -> SUBZONE derivation
+#   k8s cluster    = k8s-{r_regionkey}                                  (5)
+#   k8s namespace  = ns-{n_nationkey} named namespace-{n} in
+#                    cluster k8s-{n % 5}                                (25)
+#   k8s pod        = pod-{o_orderkey} in namespace-{(o/13) % 25}
+#                                                             (o % 13 == 0)
+#   k8s container  = pod-{o}-c{i}, i in 0..(o % 2); image app-{o % 40},
+#                    image_sha sha256:md5('code-' || (o % 40)) (ties to the
+#                    ECRImage digest family for k % 3 <> 2)
+#   k8s service    = svc-{s_suppkey} in namespace-{s_nationkey}
+#                    (s % 9 == 0); LoadBalancer when s % 18 == 0; serves
+#                    pods in its namespace with o % 5 == s % 5
+#   k8s secret     = secret-{n} in namespace-{n}              (n % 2 == 1)
+#   rds instance   = db-{c_custkey} in ACCT(c_nationkey)     (c % 17 == 0);
+#                    storage_encrypted c % 2 == 0, publicly_accessible
+#                    c % 3 == 0
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def dns_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route53 hosted zones: 25 parents + a dev. subzone per even nation
+    (reference intel/aws/route53.py:133-147 load_zone).  Columns: zoneid,
+    name, comment, privatezone, account_id."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    parents = n.select(
+        F.concat(F.lit("Z"), nk).alias("zoneid"),
+        F.concat(F.lit("zone-"), nk, F.lit(".example.com")).alias("name"),
+        F.concat(F.lit("zone for nation "), nk).alias("comment"),
+        ((F.col("n_nationkey") % 4) == 0).cast("string").alias("privatezone"),
+        _acct(F.col("n_nationkey")).alias("account_id"),
+    )
+    subs = n.where((F.col("n_nationkey") % 2) == 0).select(
+        F.concat(F.lit("ZSUB"), nk).alias("zoneid"),
+        F.concat(F.lit("dev.zone-"), nk, F.lit(".example.com")).alias("name"),
+        F.concat(F.lit("dev subzone for nation "), nk).alias("comment"),
+        F.lit("false").alias("privatezone"),
+        _acct(F.col("n_nationkey")).alias("account_id"),
+    )
+    return parents.unionByName(subs)
+
+
+@plan_memo
+def dns_nameservers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One authoritative NameServer per zone; official_zoneid is the zone it
+    serves (reference route53.py:188-204 map_ns_records).  Columns: ns_id,
+    name, official_zoneid."""
+    z = dns_zones(spark, sf_dir)
+    ns = F.concat(F.lit("ns."), F.col("zoneid"), F.lit(".example.net"))
+    return z.select(
+        ns.alias("ns_id"), ns.alias("name"), F.col("zoneid").alias("official_zoneid")
+    )
+
+
+@plan_memo
+def dns_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route53 record sets: A, CNAME and NS families (reference
+    route53.py:242-321 transform_record_set / transform_ns_records; record
+    id = zoneid/name/type).  ``server`` is non-null only on NS rows.
+    Columns: record_id, zoneid, name, type, value, server."""
+    c = read_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    zk = (ck % 25).cast("string")
+    a_name = F.concat(F.lit("host-"), ck.cast("string"), F.lit(".zone-"), zk, F.lit(".example.com"))
+    a_recs = c.where((ck % 7) == 0).select(
+        F.concat(F.lit("Z"), zk, F.lit("/"), a_name, F.lit("/A")).alias("record_id"),
+        F.concat(F.lit("Z"), zk).alias("zoneid"),
+        a_name.alias("name"),
+        F.lit("A").alias("type"),
+        F.concat(
+            F.lit("10."), ((ck / 7).cast("long") % 250).cast("string"),
+            F.lit("."), (ck % 250).cast("string"), F.lit(".1"),
+        ).alias("value"),
+        F.lit(None).cast("string").alias("server"),
+    )
+    t = (ck / 7).cast("long") * 7
+    tz = (t % 25).cast("string")
+    cname_name = F.concat(F.lit("alias-"), ck.cast("string"), F.lit(".zone-"), zk, F.lit(".example.com"))
+    cname_recs = c.where((ck % 11) == 0).select(
+        F.concat(F.lit("Z"), zk, F.lit("/"), cname_name, F.lit("/CNAME")).alias("record_id"),
+        F.concat(F.lit("Z"), zk).alias("zoneid"),
+        cname_name.alias("name"),
+        F.lit("CNAME").alias("type"),
+        F.concat(
+            F.lit("host-"), t.cast("string"), F.lit(".zone-"), tz, F.lit(".example.com")
+        ).alias("value"),
+        F.lit(None).cast("string").alias("server"),
+    )
+    z = dns_zones(spark, sf_dir)
+    own_ns = z.select(
+        F.concat(F.col("zoneid"), F.lit("/"), F.col("name"), F.lit("/NS")).alias("record_id"),
+        F.col("zoneid"),
+        F.col("name"),
+        F.lit("NS").alias("type"),
+        F.col("name").alias("value"),
+        F.concat(F.lit("ns."), F.col("zoneid"), F.lit(".example.net")).alias("server"),
+    )
+    # parent-side delegation NS records for each subzone (the SUBZONE
+    # precondition: parent holds an NS record named like the subzone whose
+    # server is the subzone's authoritative nameserver)
+    n = read_table(spark, sf_dir, "nation").where((F.col("n_nationkey") % 2) == 0)
+    nk = F.col("n_nationkey").cast("string")
+    sub_name = F.concat(F.lit("dev.zone-"), nk, F.lit(".example.com"))
+    delegation = n.select(
+        F.concat(F.lit("Z"), nk, F.lit("/"), sub_name, F.lit("/NS")).alias("record_id"),
+        F.concat(F.lit("Z"), nk).alias("zoneid"),
+        sub_name.alias("name"),
+        F.lit("NS").alias("type"),
+        sub_name.alias("value"),
+        F.concat(F.lit("ns.ZSUB"), nk, F.lit(".example.net")).alias("server"),
+    )
+    return a_recs.unionByName(cname_recs).unionByName(own_ns).unionByName(delegation)
+
+
+@plan_memo
+def k8s_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One KubernetesCluster per region (reference intel/kubernetes/
+    namespaces.py get_namespaces derives the cluster from kube-system).
+    Columns: uid, name."""
+    r = read_table(spark, sf_dir, "region")
+    rk = F.col("r_regionkey").cast("string")
+    return r.select(
+        F.concat(F.lit("k8s-"), rk).alias("uid"),
+        F.concat(F.lit("cluster-"), rk).alias("name"),
+    )
+
+
+@plan_memo
+def k8s_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One namespace per nation, spread across the 5 clusters.  Columns:
+    uid, name, cluster_uid."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    return n.select(
+        F.concat(F.lit("ns-"), nk.cast("string")).alias("uid"),
+        F.concat(F.lit("namespace-"), nk.cast("string")).alias("name"),
+        F.concat(F.lit("k8s-"), (nk % 5).cast("string")).alias("cluster_uid"),
+    )
+
+
+@plan_memo
+def k8s_pods(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
+    """Pods from orders (o_orderkey % 13 == 0; reference pods.py get_pods).
+    Columns: uid, name, status_phase, namespace, cluster_uid."""
+    o = _variant_filter(read_table(spark, sf_dir, "orders"), "o_orderkey", variant)
+    ok = F.col("o_orderkey")
+    o = o.where((ok % 13) == 0)
+    nk = ((ok / 13).cast("long") % 25).cast("string")
+    return o.select(
+        F.concat(F.lit("pod-"), ok.cast("string")).alias("uid"),
+        F.concat(F.lit("pod-"), ok.cast("string")).alias("name"),
+        F.when((ok % 2) == 0, F.lit("Running")).otherwise(F.lit("Pending")).alias("status_phase"),
+        F.concat(F.lit("namespace-"), nk).alias("namespace"),
+        F.concat(F.lit("k8s-"), (((ok / 13).cast("long") % 25) % 5).cast("string")).alias("cluster_uid"),
+    )
+
+
+@plan_memo
+def k8s_containers(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
+    """1-2 containers per pod (reference pods.py containers dict; uid =
+    '{pod_uid}-{container_name}').  image_sha reuses the ECRImage digest
+    formula so k8s -> ECR joins are live.  Columns: uid, name, pod_uid,
+    image, image_sha."""
+    o = _variant_filter(read_table(spark, sf_dir, "orders"), "o_orderkey", variant)
+    ok = F.col("o_orderkey")
+    o = o.where((ok % 13) == 0)
+    k = (ok % 40).cast("string")
+    ex = o.select(
+        ok.alias("ok"),
+        F.explode(
+            F.when((ok % 2) == 1, F.array(F.lit(0), F.lit(1))).otherwise(F.array(F.lit(0)))
+        ).alias("i"),
+    )
+    okc = F.col("ok").cast("string")
+    kk = (F.col("ok") % 40).cast("string")
+    return ex.select(
+        F.concat(F.lit("pod-"), okc, F.lit("-c"), F.col("i").cast("string")).alias("uid"),
+        F.concat(F.lit("c"), F.col("i").cast("string")).alias("name"),
+        F.concat(F.lit("pod-"), okc).alias("pod_uid"),
+        F.concat(
+            F.lit("registry.example.com/app-"), kk, F.lit(":v"), (F.col("ok") % 7).cast("string")
+        ).alias("image"),
+        F.concat(F.lit("sha256:"), F.md5(F.concat(F.lit("code-"), kk))).alias("image_sha"),
+    )
+
+
+@plan_memo
+def k8s_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Services from supplier (s_suppkey % 9 == 0; reference services.py).
+    LoadBalancer type (internet-facing) when s % 18 == 0.  Columns: uid,
+    name, type, ingress_host, namespace, cluster_uid, selector_mod (the
+    label-selector analog: serves pods with o % 5 == selector_mod)."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 9) == 0)
+    sk = F.col("s_suppkey")
+    lb = (sk % 18) == 0
+    return s.select(
+        F.concat(F.lit("svc-"), sk.cast("string")).alias("uid"),
+        F.concat(F.lit("svc-"), sk.cast("string")).alias("name"),
+        F.when(lb, F.lit("LoadBalancer")).otherwise(F.lit("ClusterIP")).alias("type"),
+        F.when(
+            lb, F.concat(F.lit("svc-"), sk.cast("string"), F.lit(".elb.example.com"))
+        ).alias("ingress_host"),
+        F.concat(F.lit("namespace-"), F.col("s_nationkey").cast("string")).alias("namespace"),
+        F.concat(F.lit("k8s-"), (F.col("s_nationkey") % 5).cast("string")).alias("cluster_uid"),
+        (sk % 5).alias("selector_mod"),
+    )
+
+
+@plan_memo
+def k8s_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One secret per odd namespace (reference secrets.py).  Columns: uid,
+    name, type, namespace."""
+    n = read_table(spark, sf_dir, "nation").where((F.col("n_nationkey") % 2) == 1)
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("secret-"), nk).alias("uid"),
+        F.concat(F.lit("secret-"), nk).alias("name"),
+        F.lit("Opaque").alias("type"),
+        F.concat(F.lit("namespace-"), nk).alias("namespace"),
+    )
+
+
+@plan_memo
+def rds_instances(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFrame:
+    """RDS instances from customer (c_custkey % 17 == 0; reference
+    intel/aws/rds.py load_rds_instances keys on DBInstanceArn).  Columns:
+    arn, db_instance_identifier, endpoint_address, storage_encrypted,
+    publicly_accessible, account_id."""
+    c = _variant_filter(read_table(spark, sf_dir, "customer"), "c_custkey", variant)
+    ck = F.col("c_custkey")
+    c = c.where((ck % 17) == 0)
+    name = F.concat(F.lit("db-"), ck.cast("string"))
+    return c.select(
+        F.concat(
+            F.lit("arn:aws:rds:us-east-1:"), _acct(F.col("c_nationkey")), F.lit(":db:"), name
+        ).alias("arn"),
+        name.alias("db_instance_identifier"),
+        F.concat(name, F.lit(".cluster.us-east-1.rds.example.com")).alias("endpoint_address"),
+        ((ck % 2) == 0).cast("string").alias("storage_encrypted"),
+        ((ck % 3) == 0).cast("string").alias("publicly_accessible"),
+        _acct(F.col("c_nationkey")).alias("account_id"),
+    )

@@ -196,3 +196,91 @@ def test_azure_module_resource_edges(spark, store):
     assert len(rels) > 0
     for sub, vm in rels:
         assert vm.startswith(f"/subscriptions/{sub}/")
+
+
+def test_route53_module_graph_shape(spark, store):
+    """Zones/records/nameservers + membership, DNS_POINTS_TO and the SUBZONE
+    delegation derivation (reference route53.py:205-230 link_sub_zones)."""
+    from cartography_spark.modules.aws_route53 import sync_route53
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_route53(
+        store,
+        fx.dns_zones(spark, SF),
+        fx.dns_records(spark, SF),
+        fx.dns_nameservers(spark, SF),
+        T1,
+    )
+    labels = {r[0] for r in store.nodes().select("label").distinct().collect()}
+    assert {"AWSDNSZone", "AWSDNSRecord", "NameServer"} <= labels
+
+    # every record belongs to an existing zone
+    member = check_rels(store, "AWSDNSRecord", "MEMBER_OF_DNS_ZONE", "AWSDNSZone")
+    zone_ids = {
+        r[0] for r in store.nodes().where(F.col("label") == "AWSDNSZone").select("id").collect()
+    }
+    assert len(member) > 0 and {m[1] for m in member} <= zone_ids
+
+    # NS records point at NameServers; official mapping exists per zone
+    ns_pt = check_rels(store, "AWSDNSRecord", "DNS_POINTS_TO", "NameServer")
+    assert len(ns_pt) > 0
+    official = check_rels(store, "AWSDNSZone", "NAMESERVER", "NameServer")
+    assert {o[0] for o in official} == zone_ids
+
+    # CNAME -> A resolution edges land on record nodes
+    cname_pt = check_rels(store, "AWSDNSRecord", "DNS_POINTS_TO", "AWSDNSRecord")
+    for src, dst in cname_pt:
+        assert "/CNAME" in src and dst.endswith("/A")
+
+    # SUBZONE: exactly the parent->dev delegations (even nations)
+    sub = check_rels(store, "AWSDNSZone", "SUBZONE", "AWSDNSZone")
+    assert len(sub) == 13
+    for parent, child in sub:
+        assert child == "ZSUB" + parent[1:]
+
+
+def test_kubernetes_module_graph_shape(spark, store):
+    """cluster -> namespace -> pod -> container chain + SERVES_POD selector
+    join (reference intel/kubernetes/{namespaces,pods,services,secrets}.py)."""
+    from cartography_spark.modules.kubernetes import sync_kubernetes
+
+    sync_kubernetes(
+        store,
+        fx.k8s_clusters(spark, SF),
+        fx.k8s_namespaces(spark, SF),
+        fx.k8s_pods(spark, SF),
+        fx.k8s_containers(spark, SF),
+        fx.k8s_services(spark, SF),
+        fx.k8s_secrets(spark, SF),
+        T1,
+    )
+    has_ns = check_rels(store, "KubernetesCluster", "HAS_NAMESPACE", "KubernetesNamespace")
+    assert len(has_ns) == 25
+    has_pod = check_rels(store, "KubernetesNamespace", "HAS_POD", "KubernetesPod")
+    assert len(has_pod) > 0
+    has_cont = check_rels(store, "KubernetesPod", "HAS_CONTAINER", "KubernetesContainer")
+    pod_ids = {p[1] for p in has_pod}
+    assert len(has_cont) > 0 and {c[0] for c in has_cont} <= pod_ids
+
+    # SERVES_POD respects namespace + selector class
+    serves = check_rels(store, "KubernetesService", "SERVES_POD", "KubernetesPod")
+    assert len(serves) > 0
+    for svc, pod in serves:
+        s_key = int(svc.split("-")[1])
+        o_key = int(pod.split("-")[1])
+        assert o_key % 5 == s_key % 5
+
+    secrets = check_rels(store, "KubernetesNamespace", "HAS_SECRET", "KubernetesSecret")
+    assert len(secrets) == 12  # odd nations
+
+
+def test_rds_module(spark, store):
+    """RDSInstance nodes + RESOURCE tenancy (reference intel/aws/rds.py)."""
+    from cartography_spark.modules.aws_rds import sync_rds
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_rds(store, fx.rds_instances(spark, SF), T1)
+    rels = check_rels(store, "AWSAccount", "RESOURCE", "RDSInstance")
+    assert len(rels) > 0
+    for acct, arn in rels:
+        assert f":{acct}:" in arn
