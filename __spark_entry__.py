@@ -1055,6 +1055,79 @@ def _q_kg_rds_exposed(spark, sf_dir):
     )
 
 
+def _q_kg_gsuite_members(spark, sf_dir):
+    """Direct MEMBER_GSUITE_GROUP edges — user->group and nested
+    group->group (reference gsuite/api.py:188-214)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.gsuite import (
+        GSUITE_GROUP_SCHEMA,
+        GSUITE_USER_SCHEMA,
+        _users_with_group,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    groups = fx.gsuite_groups(spark, sf_dir)
+    users = _users_with_group(fx.gsuite_users(spark, sf_dir))
+    gnodes = compile_nodes(groups, GSUITE_GROUP_SCHEMA, T1)
+    edges = compile_edges(users, GSUITE_USER_SCHEMA, gnodes, T1).unionByName(
+        compile_edges(groups, GSUITE_GROUP_SCHEMA, gnodes, T1)
+    )
+    return edges.select(
+        F.col("src_id").alias("member_id"),
+        F.col("src_label").alias("member_type"),
+        F.col("dst_id").alias("group_id"),
+    )
+
+
+def _q_kg_gsuite_effective(spark, sf_dir):
+    """Transitive user->group closure through nested groups (iterative
+    broadcast semi-join with fixpoint — the Spark shape for bounded-depth
+    closure)."""
+    from cartography_spark.modules.gsuite import _users_with_group, effective_memberships
+    from cartography_spark.sources import fixtures as fx
+
+    return effective_memberships(
+        _users_with_group(fx.gsuite_users(spark, sf_dir)),
+        fx.gsuite_groups(spark, sf_dir),
+    )
+
+
+def _q_kg_do_droplets(spark, sf_dir):
+    """droplet -> project -> account RESOURCE chain (reference
+    digitalocean/compute.py:85-112, management.py:78-96)."""
+    from cartography_spark.sources import fixtures as fx
+
+    proj = fx.do_projects(spark, sf_dir).select(
+        F.col("id").alias("project_id"), F.col("account_id")
+    )
+    return (
+        fx.do_droplets(spark, sf_dir)
+        .select(F.col("id").alias("droplet_id"), "project_id")
+        .join(F.broadcast(proj), "project_id")
+        .select("droplet_id", "project_id", "account_id")
+    )
+
+
+def _q_kg_es_dns(spark, sf_dir):
+    """ES endpoint DNS records -> domain DNS_POINTS_TO pairs (reference
+    elasticsearch.py:98-125 + dns.py:17-67)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_es import (
+        ES_DNS_RECORD_SCHEMA,
+        ES_DOMAIN_SCHEMA,
+        es_endpoint_records,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    domains = fx.es_domains(spark, sf_dir)
+    recs = es_endpoint_records(domains)
+    dnodes = compile_nodes(domains, ES_DOMAIN_SCHEMA, T1)
+    edges = compile_edges(recs, ES_DNS_RECORD_SCHEMA, dnodes, T1)
+    return edges.where(F.col("rel_label") == "DNS_POINTS_TO").select(
+        F.col("src_id").alias("record_id"), F.col("dst_id").alias("domain_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_accounts": _q_kg_accounts,
@@ -1092,6 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k8s_lb_pods": _q_kg_k8s_lb_pods,
         "kg_k8s_ecr_images": _q_kg_k8s_ecr_images,
         "kg_rds_exposed": _q_kg_rds_exposed,
+        "kg_gsuite_members": _q_kg_gsuite_members,
+        "kg_gsuite_effective": _q_kg_gsuite_effective,
+        "kg_do_droplets": _q_kg_do_droplets,
+        "kg_es_dns": _q_kg_es_dns,
         "kg_spans": _q_kg_spans,
         "kg_mentions": _q_kg_mentions,
         "kg_entity_links": _q_kg_entity_links,
@@ -1564,6 +1641,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT container_uid, cont.digest AS digest
             FROM cont JOIN img ON img.digest = cont.digest
+        """,
+        # GSuite: direct memberships (user->group + nested group->group)
+        "kg_gsuite_members": """
+            SELECT 'gsuite-' || CAST(c_custkey AS VARCHAR) AS member_id,
+                   'GSuiteUser' AS member_type,
+                   'ggroup-' || CAST(c_nationkey AS VARCHAR) AS group_id
+            FROM customer WHERE c_custkey % 8 = 0
+            UNION ALL
+            SELECT 'ggroup-' || CAST(n_nationkey AS VARCHAR),
+                   'GSuiteGroup',
+                   'ggroup-' || CAST(n_nationkey % 5 AS VARCHAR)
+            FROM nation WHERE n_nationkey >= 5
+        """,
+        # GSuite: transitive user->group closure (depth 2: nation root at n%5)
+        "kg_gsuite_effective": """
+            SELECT 'gsuite-' || CAST(c_custkey AS VARCHAR) AS user_id,
+                   'ggroup-' || CAST(c_nationkey AS VARCHAR) AS group_id
+            FROM customer WHERE c_custkey % 8 = 0
+            UNION ALL
+            SELECT 'gsuite-' || CAST(c_custkey AS VARCHAR),
+                   'ggroup-' || CAST(c_nationkey % 5 AS VARCHAR)
+            FROM customer WHERE c_custkey % 8 = 0 AND c_nationkey >= 5
+        """,
+        # DigitalOcean: droplet -> project -> account chain
+        "kg_do_droplets": """
+            SELECT 'do-droplet-' || CAST(p_partkey AS VARCHAR) AS droplet_id,
+                   'do-proj-' || CAST(CAST(p_partkey / 37 AS BIGINT) % 25 AS VARCHAR) AS project_id,
+                   'do-acct-' || CAST((CAST(p_partkey / 37 AS BIGINT) % 25) % 5 AS VARCHAR) AS account_id
+            FROM part WHERE p_partkey % 37 = 0
+        """,
+        # ES endpoint record -> domain DNS_POINTS_TO
+        "kg_es_dns": """
+            SELECT 'search-es-' || CAST(s_suppkey AS VARCHAR) ||
+                   '.us-east-1.es.example.com+CNAME' AS record_id,
+                   'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
+            FROM supplier WHERE s_suppkey % 7 = 0
         """,
         # RDS: publicly accessible AND unencrypted instances
         "kg_rds_exposed": f"""

@@ -25,8 +25,11 @@ from cartography_spark.modules.aws_rds import sync_rds
 from cartography_spark.modules.aws_route53 import sync_route53
 from cartography_spark.modules.aws_s3 import sync_s3
 from cartography_spark.modules.kubernetes import sync_kubernetes
+from cartography_spark.modules.aws_es import sync_elasticsearch
 from cartography_spark.modules.azure import sync_azure
+from cartography_spark.modules.digitalocean import sync_digitalocean
 from cartography_spark.modules.gcp import sync_gcp
+from cartography_spark.modules.gsuite import sync_gsuite
 from cartography_spark.modules.github import sync_github
 from cartography_spark.modules.hr import sync_humans
 from cartography_spark.sources import fixtures as fx
@@ -158,6 +161,24 @@ def run_sync(
         store,
         fx.azure_subscriptions(spark, sf_dir),
         fx.azure_vms(spark, sf_dir),
+        update_tag,
+    )
+
+    # Elasticsearch domains + DNS endpoint records (reference elasticsearch.py
+    # links each domain's endpoint FQDN into the DNS record space)
+    sync_elasticsearch(store, fx.es_domains(spark, sf_dir), update_tag)
+
+    # GSuite: users, groups, nested memberships
+    sync_gsuite(
+        store, fx.gsuite_users(spark, sf_dir), fx.gsuite_groups(spark, sf_dir), update_tag
+    )
+
+    # DigitalOcean: third tenancy grammar (account -> project -> droplet)
+    sync_digitalocean(
+        store,
+        fx.do_accounts(spark, sf_dir),
+        fx.do_projects(spark, sf_dir),
+        fx.do_droplets(spark, sf_dir),
         update_tag,
     )
 

@@ -1123,3 +1123,108 @@ def rds_instances(spark: SparkSession, sf_dir: str, variant: str = "t1") -> Data
         ((ck % 3) == 0).cast("string").alias("publicly_accessible"),
         _acct(F.col("c_nationkey")).alias("account_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (fourth batch): GSuite, DigitalOcean, Elasticsearch
+#
+#   gsuite user    = gsuite-{c_custkey}, email user-{c}@corp-{nk}.example.com
+#                    (c % 8 == 0; same email grammar as humans/okta so the
+#                    identity-resolution path can pick them up)
+#   gsuite group   = ggroup-{n_nationkey}; nested under ggroup-{n % 5} for
+#                    n >= 5 (roots are 0..4) -> 2-level nesting
+#   do account     = do-acct-{r_regionkey}                              (5)
+#   do project     = do-proj-{n_nationkey} owned by do-acct-{n % 5}    (25)
+#   do droplet     = do-droplet-{p_partkey} in do-proj-{(p/37) % 25}
+#                                                             (p % 37 == 0)
+#   es domain      = es-{s_suppkey} in ACCT(s_nationkey) with endpoint
+#                    search-es-{s}.us-east-1.es.example.com   (s % 7 == 0)
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def gsuite_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSuite users (reference intel/gsuite/api.py:152-186 load_gsuite_users).
+    Columns: id, email, name, nationkey."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 8) == 0)
+    ck = F.col("c_custkey").cast("string")
+    return c.select(
+        F.concat(F.lit("gsuite-"), ck).alias("id"),
+        F.concat(
+            F.lit("user-"), ck, F.lit("@corp-"), F.col("c_nationkey").cast("string"),
+            F.lit(".example.com"),
+        ).alias("email"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+
+
+@plan_memo
+def gsuite_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSuite groups with 2-level nesting (reference api.py:130-150
+    load_gsuite_groups; api.py:206-214 group-in-group members).  Columns:
+    id, email, parent_id (null for the 5 roots)."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("ggroup-"), nk).alias("id"),
+        F.concat(F.lit("group-"), nk, F.lit("@corp.example.com")).alias("email"),
+        F.when(
+            F.col("n_nationkey") >= 5,
+            F.concat(F.lit("ggroup-"), (F.col("n_nationkey") % 5).cast("string")),
+        ).alias("parent_id"),
+    )
+
+
+@plan_memo
+def do_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DigitalOcean accounts (reference intel/digitalocean/platform.py:50).
+    Columns: id."""
+    r = read_table(spark, sf_dir, "region")
+    return r.select(F.concat(F.lit("do-acct-"), F.col("r_regionkey").cast("string")).alias("id"))
+
+
+@plan_memo
+def do_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DO projects owned by accounts (reference management.py:78-96).
+    Columns: id, name, account_id."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("do-proj-"), nk).alias("id"),
+        F.concat(F.lit("project-"), nk).alias("name"),
+        F.concat(F.lit("do-acct-"), (F.col("n_nationkey") % 5).cast("string")).alias("account_id"),
+    )
+
+
+@plan_memo
+def do_droplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DO droplets in projects (reference compute.py:85-112).  Columns: id,
+    name, region, project_id."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 37) == 0)
+    pk = F.col("p_partkey")
+    return p.select(
+        F.concat(F.lit("do-droplet-"), pk.cast("string")).alias("id"),
+        F.concat(F.lit("droplet-"), pk.cast("string")).alias("name"),
+        F.lit("nyc3").alias("region"),
+        F.concat(
+            F.lit("do-proj-"), ((pk / 37).cast("long") % 25).cast("string")
+        ).alias("project_id"),
+    )
+
+
+@plan_memo
+def es_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch domains (reference intel/aws/elasticsearch.py:40-95).
+    Columns: domain_id, arn, endpoint, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 7) == 0)
+    sk = F.col("s_suppkey").cast("string")
+    return s.select(
+        F.concat(F.lit("es-"), sk).alias("domain_id"),
+        F.concat(
+            F.lit("arn:aws:es:us-east-1:"), _acct(F.col("s_nationkey")),
+            F.lit(":domain/es-"), sk,
+        ).alias("arn"),
+        F.concat(F.lit("search-es-"), sk, F.lit(".us-east-1.es.example.com")).alias("endpoint"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )

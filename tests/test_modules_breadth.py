@@ -284,3 +284,65 @@ def test_rds_module(spark, store):
     assert len(rels) > 0
     for acct, arn in rels:
         assert f":{acct}:" in arn
+
+
+def test_gsuite_module_nested_membership(spark, store):
+    """User and nested group memberships + transitive closure (reference
+    gsuite/api.py:188-214)."""
+    from cartography_spark.modules.gsuite import (
+        effective_memberships,
+        sync_gsuite,
+        _users_with_group,
+    )
+
+    sync_gsuite(store, fx.gsuite_users(spark, SF), fx.gsuite_groups(spark, SF), T1)
+    u2g = check_rels(store, "GSuiteUser", "MEMBER_GSUITE_GROUP", "GSuiteGroup")
+    g2g = check_rels(store, "GSuiteGroup", "MEMBER_GSUITE_GROUP", "GSuiteGroup")
+    assert len(u2g) > 0 and len(g2g) == 20  # nations 5..24 nest under roots
+
+    closure = {
+        (r.user_id, r.group_id)
+        for r in effective_memberships(
+            _users_with_group(fx.gsuite_users(spark, SF)), fx.gsuite_groups(spark, SF)
+        ).collect()
+    }
+    # every direct member appears, and members of nested groups reach the root
+    assert u2g <= closure
+    for user, group in u2g:
+        n = int(group.split("-")[1])
+        if n >= 5:
+            assert (user, f"ggroup-{n % 5}") in closure
+
+
+def test_digitalocean_module_chain(spark, store):
+    """account -> project -> droplet RESOURCE chain (third tenancy
+    grammar)."""
+    from cartography_spark.modules.digitalocean import sync_digitalocean
+
+    sync_digitalocean(
+        store,
+        fx.do_accounts(spark, SF),
+        fx.do_projects(spark, SF),
+        fx.do_droplets(spark, SF),
+        T1,
+    )
+    a2p = check_rels(store, "DOAccount", "RESOURCE", "DOProject")
+    p2d = check_rels(store, "DOProject", "RESOURCE", "DODroplet")
+    assert len(a2p) == 25 and len(p2d) > 0
+    proj_with_acct = {p for _, p in a2p}
+    assert {p for p, _ in p2d} <= proj_with_acct
+
+
+def test_elasticsearch_dns_link(spark, store):
+    """ES domain endpoint lands as an AWSDNSRecord with DNS_POINTS_TO
+    (reference elasticsearch.py:98-125 + dns.py)."""
+    from cartography_spark.modules.aws_es import sync_elasticsearch
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_elasticsearch(store, fx.es_domains(spark, SF), T1)
+    pt = check_rels(store, "AWSDNSRecord", "DNS_POINTS_TO", "ESDomain")
+    assert len(pt) > 0
+    for rec, dom in pt:
+        assert rec == f"search-{dom}.us-east-1.es.example.com+CNAME"
+    res = check_rels(store, "AWSAccount", "RESOURCE", "ESDomain")
+    assert {d for _, d in res} == {d for _, d in pt}
