@@ -1128,6 +1128,89 @@ def _q_kg_es_dns(spark, sf_dir):
     )
 
 
+def _q_kg_sqs_dlq(spark, sf_dir):
+    """(queue)-[:HAS_DEADLETTER_QUEUE]->(queue) self-join: redrive targets
+    that exist as queues (reference sqs.py:120-135; MATCH gate = inner
+    join)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_inventory import (
+        SQS_DLQ_LINK_SCHEMA,
+        SQS_QUEUE_SCHEMA,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    queues = fx.sqs_queues(spark, sf_dir)
+    qnodes = compile_nodes(queues, SQS_QUEUE_SCHEMA, T1)
+    edges = compile_edges(
+        queues.where("redrive_target IS NOT NULL"),
+        SQS_DLQ_LINK_SCHEMA,
+        qnodes,
+        T1,
+        broadcast_targets=False,
+    )
+    return edges.select(
+        F.col("src_id").alias("queue_arn"), F.col("dst_id").alias("dlq_arn")
+    )
+
+
+def _q_kg_kms_aliases(spark, sf_dir):
+    """KNOWN_AS alias edges restricted to keys without rotation — the
+    security slice over reference kms.py:115-130 + rotation status."""
+    from cartography_spark.sources import fixtures as fx
+
+    keys = fx.kms_keys(spark, sf_dir).where("rotation_enabled = 'false'").select(
+        F.col("key_id"), F.lit(1).alias("_k")
+    )
+    return (
+        fx.kms_aliases(spark, sf_dir)
+        .join(F.broadcast(keys), F.col("target_key_id") == F.col("key_id"))
+        .select("alias_arn", "key_id")
+    )
+
+
+def _q_kg_apigw_chain(spark, sf_dir):
+    """api -> stage + api -> resource joined through the shared REST API
+    (reference apigateway.py:185-275)."""
+    from cartography_spark.sources import fixtures as fx
+
+    stages = fx.apigw_stages(spark, sf_dir).select("api_id", "stage_arn")
+    resources = fx.apigw_resources(spark, sf_dir).select("api_id", "resource_id")
+    return resources.join(F.broadcast(stages), "api_id").select(
+        "api_id", "stage_arn", "resource_id"
+    )
+
+
+def _q_kg_ecs_services(spark, sf_dir):
+    """cluster -> service -> task definition chain with both endpoints
+    validated against their node frames (reference ecs.py:225-330)."""
+    from cartography_spark.sources import fixtures as fx
+
+    clusters = fx.ecs_clusters(spark, sf_dir).select(F.col("arn").alias("cluster_arn"))
+    tds = fx.ecs_task_defs(spark, sf_dir).select(F.col("arn").alias("task_def_arn"))
+    return (
+        fx.ecs_services(spark, sf_dir)
+        .select(F.col("arn").alias("service_arn"), "cluster_arn", "task_def_arn")
+        .join(F.broadcast(clusters), "cluster_arn")
+        .join(F.broadcast(tds), "task_def_arn")
+        .select("cluster_arn", "service_arn", "task_def_arn")
+    )
+
+
+def _q_kg_ecs_task_images(spark, sf_dir):
+    """ECS container image digests joined into the ECRImage space — the
+    task -> image provenance chain (reference ecs.py container load +
+    ecr.py)."""
+    from cartography_spark.sources import fixtures as fx
+
+    cont = fx.ecs_tasks(spark, sf_dir).select(
+        F.col("arn").alias("task_arn"),
+        "container_id",
+        F.col("image_digest").alias("digest"),
+    )
+    img = fx.ecr_images(spark, sf_dir).select("digest").distinct()
+    return cont.join(F.broadcast(img), "digest").select("task_arn", "container_id", "digest")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_accounts": _q_kg_accounts,
@@ -1169,6 +1252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gsuite_effective": _q_kg_gsuite_effective,
         "kg_do_droplets": _q_kg_do_droplets,
         "kg_es_dns": _q_kg_es_dns,
+        "kg_sqs_dlq": _q_kg_sqs_dlq,
+        "kg_kms_aliases": _q_kg_kms_aliases,
+        "kg_apigw_chain": _q_kg_apigw_chain,
+        "kg_ecs_services": _q_kg_ecs_services,
+        "kg_ecs_task_images": _q_kg_ecs_task_images,
         "kg_spans": _q_kg_spans,
         "kg_mentions": _q_kg_mentions,
         "kg_entity_links": _q_kg_entity_links,
@@ -1677,6 +1765,56 @@ def oracle_sql() -> dict[str, str]:
                    '.us-east-1.es.example.com+CNAME' AS record_id,
                    'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
             FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+        # SQS DLQ self-join: redrive target must exist as a queue (orders
+        # keys are sparse, so the join genuinely filters)
+        "kg_sqs_dlq": f"""
+            SELECT 'arn:aws:sqs:us-east-1:' ||
+                   lpad(CAST(CAST(a.o_orderkey / 19 AS BIGINT) % 25 AS VARCHAR), 12, '0') ||
+                   ':queue-' || CAST(a.o_orderkey AS VARCHAR) AS queue_arn,
+                   'arn:aws:sqs:us-east-1:' ||
+                   lpad(CAST((CAST(a.o_orderkey / 19 AS BIGINT) - 1) % 25 AS VARCHAR), 12, '0') ||
+                   ':queue-' || CAST(b.o_orderkey AS VARCHAR) AS dlq_arn
+            FROM orders a JOIN orders b ON b.o_orderkey = a.o_orderkey - 19
+            WHERE a.o_orderkey % 38 = 0 AND a.o_orderkey >= 38
+        """,
+        # KMS aliases over unrotated keys
+        "kg_kms_aliases": f"""
+            SELECT 'arn:aws:kms:us-east-1:' || {ACCT.format(k='s_nationkey')} ||
+                   ':alias/alias-' || CAST(s_suppkey AS VARCHAR) AS alias_arn,
+                   'kms-' || CAST(s_suppkey AS VARCHAR) AS key_id
+            FROM supplier WHERE s_suppkey % 11 = 0 AND s_suppkey % 2 = 1
+        """,
+        # API Gateway: resources x stages through the shared API
+        "kg_apigw_chain": """
+            SELECT 'api-' || CAST(CAST(p_partkey / 23 AS BIGINT) % 25 AS VARCHAR) AS api_id,
+                   'api-' || CAST(CAST(p_partkey / 23 AS BIGINT) % 25 AS VARCHAR) ||
+                   '/stages/' || s.stage_name AS stage_arn,
+                   'res-' || CAST(p_partkey AS VARCHAR) AS resource_id
+            FROM part, (VALUES ('dev'), ('prod')) AS s(stage_name)
+            WHERE p_partkey % 23 = 0
+        """,
+        # ECS: cluster -> service -> task definition chain
+        "kg_ecs_services": """
+            SELECT 'ecs-cluster-' || CAST(s_nationkey % 5 AS VARCHAR) AS cluster_arn,
+                   'ecs-svc-' || CAST(s_suppkey AS VARCHAR) AS service_arn,
+                   'td-' || CAST(s_suppkey AS VARCHAR) || ':1' AS task_def_arn
+            FROM supplier WHERE s_suppkey % 6 = 0
+        """,
+        # ECS container digests joined into the ECRImage space
+        "kg_ecs_task_images": """
+            WITH cont AS (
+              SELECT 'ecs-task-' || CAST(o_orderkey AS VARCHAR) AS task_arn,
+                     'ecs-container-' || CAST(o_orderkey AS VARCHAR) AS container_id,
+                     'sha256:' || md5('code-' || CAST(o_orderkey % 40 AS VARCHAR)) AS digest
+              FROM orders WHERE o_orderkey % 17 = 0
+            ),
+            img AS (
+              SELECT DISTINCT 'sha256:' || md5('code-' || CAST(k AS VARCHAR)) AS digest
+              FROM (SELECT p_partkey % 40 AS k FROM part) WHERE k % 3 <> 2
+            )
+            SELECT task_arn, container_id, cont.digest AS digest
+            FROM cont JOIN img ON img.digest = cont.digest
         """,
         # RDS: publicly accessible AND unencrypted instances
         "kg_rds_exposed": f"""

@@ -25,7 +25,14 @@ from cartography_spark.modules.aws_rds import sync_rds
 from cartography_spark.modules.aws_route53 import sync_route53
 from cartography_spark.modules.aws_s3 import sync_s3
 from cartography_spark.modules.kubernetes import sync_kubernetes
+from cartography_spark.modules.aws_ecs import sync_ecs
 from cartography_spark.modules.aws_es import sync_elasticsearch
+from cartography_spark.modules.aws_inventory import (
+    sync_apigateway,
+    sync_dynamodb,
+    sync_kms,
+    sync_sqs,
+)
 from cartography_spark.modules.azure import sync_azure
 from cartography_spark.modules.digitalocean import sync_digitalocean
 from cartography_spark.modules.gcp import sync_gcp
@@ -167,6 +174,26 @@ def run_sync(
     # Elasticsearch domains + DNS endpoint records (reference elasticsearch.py
     # links each domain's endpoint FQDN into the DNS record space)
     sync_elasticsearch(store, fx.es_domains(spark, sf_dir), update_tag)
+
+    # SQS (+DLQ self-join), KMS (+aliases), DynamoDB, API Gateway, ECS
+    sync_sqs(store, fx.sqs_queues(spark, sf_dir), update_tag)
+    sync_kms(store, fx.kms_keys(spark, sf_dir), fx.kms_aliases(spark, sf_dir), update_tag)
+    sync_dynamodb(store, fx.dynamodb_tables(spark, sf_dir), update_tag)
+    sync_apigateway(
+        store,
+        fx.apigw_rest_apis(spark, sf_dir),
+        fx.apigw_stages(spark, sf_dir),
+        fx.apigw_resources(spark, sf_dir),
+        update_tag,
+    )
+    sync_ecs(
+        store,
+        fx.ecs_clusters(spark, sf_dir),
+        fx.ecs_services(spark, sf_dir),
+        fx.ecs_task_defs(spark, sf_dir),
+        fx.ecs_tasks(spark, sf_dir),
+        update_tag,
+    )
 
     # GSuite: users, groups, nested memberships
     sync_gsuite(

@@ -1228,3 +1228,183 @@ def es_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("search-es-"), sk, F.lit(".us-east-1.es.example.com")).alias("endpoint"),
         _acct(F.col("s_nationkey")).alias("account_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (fifth batch): SQS, KMS, DynamoDB, API Gateway, ECS
+#
+#   sqs queue      = arn:aws:sqs:us-east-1:ACCT((o/19) % 25):queue-{o}
+#                    (o % 19 == 0); queues with o % 38 == 0 redrive to
+#                    queue-{o-19} (the previous queue key -> DLQ self-join)
+#   kms key        = kms-{s_suppkey} in ACCT(s_nationkey) (s % 11 == 0);
+#                    rotation_enabled = s % 2 == 0; one alias each
+#   dynamodb table = table-{c_custkey} (c % 13 == 0), gsi_count c % 4
+#   apigw rest api = api-{n_nationkey} (25); stages dev+prod per api;
+#                    resources res-{p_partkey} on api-{(p/23) % 25}
+#                    (p % 23 == 0)
+#   ecs cluster    = ecs-cluster-{r_regionkey} (5)
+#   ecs service    = ecs-svc-{s_suppkey} in ecs-cluster-{s_nationkey % 5}
+#                    (s % 6 == 0) with task def td-{s}:1
+#   ecs task       = ecs-task-{o_orderkey} (o % 17 == 0) in
+#                    ecs-cluster-{(o/17) % 5}, referencing td-{6*((o/17)%50)}:1
+#                    (dropped by the join when that supplier key is absent);
+#                    one container each with the ECRImage digest family
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def sqs_queues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQS queues + redrive targets (reference intel/aws/sqs.py:60-135).
+    Columns: arn, name, account_id, redrive_target (null unless o%38==0)."""
+    o = read_table(spark, sf_dir, "orders").where((F.col("o_orderkey") % 19) == 0)
+    ok = F.col("o_orderkey")
+    j = (ok / 19).cast("long")
+    arn_of = lambda key, jj: F.concat(  # noqa: E731
+        F.lit("arn:aws:sqs:us-east-1:"), _acct(jj % 25), F.lit(":queue-"), key.cast("string")
+    )
+    return o.select(
+        arn_of(ok, j).alias("arn"),
+        F.concat(F.lit("queue-"), ok.cast("string")).alias("name"),
+        _acct(j % 25).alias("account_id"),
+        F.when((ok % 38) == 0, arn_of(ok - 19, j - 1)).alias("redrive_target"),
+    )
+
+
+@plan_memo
+def kms_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMS keys (reference kms.py:295-320).  Columns: key_id,
+    rotation_enabled, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 11) == 0)
+    sk = F.col("s_suppkey")
+    return s.select(
+        F.concat(F.lit("kms-"), sk.cast("string")).alias("key_id"),
+        ((sk % 2) == 0).cast("string").alias("rotation_enabled"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def kms_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alias per key (reference kms.py:115-130 KNOWN_AS).  Columns:
+    alias_arn, target_key_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 11) == 0)
+    sk = F.col("s_suppkey").cast("string")
+    return s.select(
+        F.concat(
+            F.lit("arn:aws:kms:us-east-1:"), _acct(F.col("s_nationkey")),
+            F.lit(":alias/alias-"), sk,
+        ).alias("alias_arn"),
+        F.concat(F.lit("kms-"), sk).alias("target_key_id"),
+    )
+
+
+@plan_memo
+def dynamodb_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynamoDB tables (reference dynamodb.py load_dynamodb_tables).
+    Columns: arn, name, gsi_count, account_id."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 13) == 0)
+    ck = F.col("c_custkey")
+    return c.select(
+        F.concat(
+            F.lit("arn:aws:dynamodb:us-east-1:"), _acct(F.col("c_nationkey")),
+            F.lit(":table/table-"), ck.cast("string"),
+        ).alias("arn"),
+        F.concat(F.lit("table-"), ck.cast("string")).alias("name"),
+        (ck % 4).cast("string").alias("gsi_count"),
+        _acct(F.col("c_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def apigw_rest_apis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REST API per nation (reference apigateway.py:115-131).  Columns:
+    api_id, name, account_id."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("api-"), nk).alias("api_id"),
+        F.concat(F.lit("restapi-"), nk).alias("name"),
+        _acct(F.col("n_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def apigw_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dev + prod stage per API (reference apigateway.py:185-210).  Columns:
+    stage_arn, stage_name, api_id."""
+    apis = apigw_rest_apis(spark, sf_dir)
+    ex = apis.select("api_id", F.explode(F.array(F.lit("dev"), F.lit("prod"))).alias("stage_name"))
+    return ex.select(
+        F.concat(F.col("api_id"), F.lit("/stages/"), F.col("stage_name")).alias("stage_arn"),
+        F.col("stage_name"),
+        F.col("api_id"),
+    )
+
+
+@plan_memo
+def apigw_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API resources (reference apigateway.py:258-275).  Columns:
+    resource_id, path, api_id."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 23) == 0)
+    pk = F.col("p_partkey")
+    return p.select(
+        F.concat(F.lit("res-"), pk.cast("string")).alias("resource_id"),
+        F.concat(F.lit("/v"), (pk % 3).cast("string"), F.lit("/items")).alias("path"),
+        F.concat(F.lit("api-"), ((pk / 23).cast("long") % 25).cast("string")).alias("api_id"),
+    )
+
+
+@plan_memo
+def ecs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECS clusters (reference ecs.py:130-160).  Columns: arn, name."""
+    r = read_table(spark, sf_dir, "region")
+    rk = F.col("r_regionkey").cast("string")
+    return r.select(
+        F.concat(F.lit("ecs-cluster-"), rk).alias("arn"),
+        F.concat(F.lit("cluster-"), rk).alias("name"),
+    )
+
+
+@plan_memo
+def ecs_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECS services with task definitions (reference ecs.py:225-270).
+    Columns: arn, name, cluster_arn, task_def_arn."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 6) == 0)
+    sk = F.col("s_suppkey").cast("string")
+    return s.select(
+        F.concat(F.lit("ecs-svc-"), sk).alias("arn"),
+        F.concat(F.lit("svc-"), sk).alias("name"),
+        F.concat(F.lit("ecs-cluster-"), (F.col("s_nationkey") % 5).cast("string")).alias("cluster_arn"),
+        F.concat(F.lit("td-"), sk, F.lit(":1")).alias("task_def_arn"),
+    )
+
+
+@plan_memo
+def ecs_task_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task definitions, one per service (reference ecs.py:285-330).
+    Columns: arn, family, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 6) == 0)
+    sk = F.col("s_suppkey").cast("string")
+    return s.select(
+        F.concat(F.lit("td-"), sk, F.lit(":1")).alias("arn"),
+        F.concat(F.lit("family-"), sk).alias("family"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def ecs_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running tasks with one container each (reference ecs.py:360-420 +
+    container load).  task_def_ref points into the service task-def space
+    and is validated by the join (absent keys drop).  Columns: arn,
+    cluster_arn, task_def_ref, container_id, image_digest."""
+    o = read_table(spark, sf_dir, "orders").where((F.col("o_orderkey") % 17) == 0)
+    ok = F.col("o_orderkey")
+    j = (ok / 17).cast("long")
+    return o.select(
+        F.concat(F.lit("ecs-task-"), ok.cast("string")).alias("arn"),
+        F.concat(F.lit("ecs-cluster-"), (j % 5).cast("string")).alias("cluster_arn"),
+        F.concat(F.lit("td-"), (6 * (j % 50)).cast("string"), F.lit(":1")).alias("task_def_ref"),
+        F.concat(F.lit("ecs-container-"), ok.cast("string")).alias("container_id"),
+        F.concat(F.lit("sha256:"), F.md5(F.concat(F.lit("code-"), (ok % 40).cast("string")))).alias("image_digest"),
+    )

@@ -346,3 +346,72 @@ def test_elasticsearch_dns_link(spark, store):
         assert rec == f"search-{dom}.us-east-1.es.example.com+CNAME"
     res = check_rels(store, "AWSAccount", "RESOURCE", "ESDomain")
     assert {d for _, d in res} == {d for _, d in pt}
+
+
+def test_sqs_kms_apigw_modules(spark, store):
+    """SQS DLQ self-join, KMS KNOWN_AS, API Gateway stage/resource edges
+    (reference sqs.py:120-135, kms.py:115-130, apigateway.py:185-275)."""
+    from cartography_spark.modules.aws_inventory import (
+        sync_apigateway,
+        sync_dynamodb,
+        sync_kms,
+        sync_sqs,
+    )
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_sqs(store, fx.sqs_queues(spark, SF), T1)
+    sync_kms(store, fx.kms_keys(spark, SF), fx.kms_aliases(spark, SF), T1)
+    sync_dynamodb(store, fx.dynamodb_tables(spark, SF), T1)
+    sync_apigateway(
+        store,
+        fx.apigw_rest_apis(spark, SF),
+        fx.apigw_stages(spark, SF),
+        fx.apigw_resources(spark, SF),
+        T1,
+    )
+
+    dlq = check_rels(store, "SQSQueue", "HAS_DEADLETTER_QUEUE", "SQSQueue")
+    queue_ids = {
+        r[0] for r in store.nodes().where(F.col("label") == "SQSQueue").select("id").collect()
+    }
+    # every DLQ edge endpoint is a live queue (the MATCH gate)
+    assert len(dlq) > 0
+    for src, dst in dlq:
+        assert src in queue_ids and dst in queue_ids
+
+    known_as = check_rels(store, "KMSAlias", "KNOWN_AS", "KMSKey")
+    assert len(known_as) > 0
+    assoc = check_rels(store, "APIGatewayRestAPI", "ASSOCIATED_WITH", "APIGatewayStage")
+    assert len(assoc) == 50  # 25 apis x 2 stages
+    res = check_rels(store, "APIGatewayRestAPI", "RESOURCE", "APIGatewayResource")
+    assert len(res) > 0
+
+
+def test_ecs_module_chain(spark, store):
+    """cluster -> service/task -> taskdef -> container chain; tasks whose
+    task_def_ref is absent keep their node but drop the edge (reference
+    MATCH gate)."""
+    from cartography_spark.modules.aws_ecs import sync_ecs
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_ecs(
+        store,
+        fx.ecs_clusters(spark, SF),
+        fx.ecs_services(spark, SF),
+        fx.ecs_task_defs(spark, SF),
+        fx.ecs_tasks(spark, SF),
+        T1,
+    )
+    svc = check_rels(store, "ECSCluster", "HAS_SERVICE", "ECSService")
+    assert len(svc) > 0
+    task_edges = check_rels(store, "ECSTask", "HAS_TASK_DEFINITION", "ECSTaskDefinition")
+    td_ids = {
+        r[0]
+        for r in store.nodes().where(F.col("label") == "ECSTaskDefinition").select("id").collect()
+    }
+    assert {t[1] for t in task_edges} <= td_ids
+    # task nodes survive even when their taskdef ref was absent
+    n_tasks = store.nodes().where(F.col("label") == "ECSTask").count()
+    assert n_tasks >= len({t[0] for t in task_edges})
+    cont = check_rels(store, "ECSTask", "HAS_CONTAINER", "ECSContainer")
+    assert len(cont) == n_tasks
