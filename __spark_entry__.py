@@ -1211,6 +1211,33 @@ def _q_kg_ecs_task_images(spark, sf_dir):
     return cont.join(F.broadcast(img), "digest").select("task_arn", "container_id", "digest")
 
 
+def _q_kg_azure_public_containers(spark, sf_dir):
+    """storage account -> blob service -> container chain, restricted to
+    publicly accessible containers (reference azure/storage.py USES +
+    CONTAINS)."""
+    from cartography_spark.sources import fixtures as fx
+
+    sa = fx.azure_storage_accounts(spark, sf_dir).select("account_id")
+    return (
+        fx.azure_blob_containers(spark, sf_dir)
+        .where("public_access = 'true'")
+        .join(F.broadcast(sa), "account_id")
+        .select("account_id", "container_id")
+    )
+
+
+def _q_kg_azure_sql_dbs(spark, sf_dir):
+    """server -> database RESOURCE family (reference azure/sql.py)."""
+    from cartography_spark.sources import fixtures as fx
+
+    srv = fx.azure_sql_servers(spark, sf_dir).select("server_id", "subscription_id")
+    return (
+        fx.azure_sql_databases(spark, sf_dir)
+        .join(F.broadcast(srv), "server_id")
+        .select("server_id", "db_id", "subscription_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_accounts": _q_kg_accounts,
@@ -1252,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gsuite_effective": _q_kg_gsuite_effective,
         "kg_do_droplets": _q_kg_do_droplets,
         "kg_es_dns": _q_kg_es_dns,
+        "kg_azure_public_containers": _q_kg_azure_public_containers,
+        "kg_azure_sql_dbs": _q_kg_azure_sql_dbs,
         "kg_sqs_dlq": _q_kg_sqs_dlq,
         "kg_kms_aliases": _q_kg_kms_aliases,
         "kg_apigw_chain": _q_kg_apigw_chain,
@@ -1765,6 +1794,33 @@ def oracle_sql() -> dict[str, str]:
                    '.us-east-1.es.example.com+CNAME' AS record_id,
                    'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
             FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+        # Azure: publicly accessible blob containers (docs container on
+        # c % 3 == 0 accounts)
+        "kg_azure_public_containers": """
+            SELECT '/subscriptions/sub-' || CAST(c_custkey % 5 AS VARCHAR) ||
+                   '/resourceGroups/rg-0/providers/Microsoft.Storage/storageAccounts/sa' ||
+                   CAST(c_custkey AS VARCHAR) AS account_id,
+                   '/subscriptions/sub-' || CAST(c_custkey % 5 AS VARCHAR) ||
+                   '/resourceGroups/rg-0/providers/Microsoft.Storage/storageAccounts/sa' ||
+                   CAST(c_custkey AS VARCHAR) ||
+                   '/blobServices/default/containers/docs' AS container_id
+            FROM customer WHERE c_custkey % 19 = 0 AND c_custkey % 3 = 0
+        """,
+        # Azure: SQL server -> database family (db1 only on s % 26 == 0)
+        "kg_azure_sql_dbs": """
+            WITH srv AS (
+              SELECT '/subscriptions/sub-' || CAST(s_nationkey % 5 AS VARCHAR) ||
+                     '/resourceGroups/rg-0/providers/Microsoft.Sql/servers/sqlsrv-' ||
+                     CAST(s_suppkey AS VARCHAR) AS server_id,
+                     'sub-' || CAST(s_nationkey % 5 AS VARCHAR) AS subscription_id,
+                     s_suppkey
+              FROM supplier WHERE s_suppkey % 13 = 0
+            )
+            SELECT server_id, server_id || '/databases/db0' AS db_id, subscription_id FROM srv
+            UNION ALL
+            SELECT server_id, server_id || '/databases/db1', subscription_id
+            FROM srv WHERE s_suppkey % 26 = 0
         """,
         # SQS DLQ self-join: redrive target must exist as a queue (orders
         # keys are sparse, so the join genuinely filters)

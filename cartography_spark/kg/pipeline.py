@@ -33,7 +33,7 @@ from cartography_spark.modules.aws_inventory import (
     sync_kms,
     sync_sqs,
 )
-from cartography_spark.modules.azure import sync_azure
+from cartography_spark.modules.azure import sync_azure, sync_azure_storage_sql
 from cartography_spark.modules.digitalocean import sync_digitalocean
 from cartography_spark.modules.gcp import sync_gcp
 from cartography_spark.modules.gsuite import sync_gsuite
@@ -168,6 +168,14 @@ def run_sync(
         store,
         fx.azure_subscriptions(spark, sf_dir),
         fx.azure_vms(spark, sf_dir),
+        update_tag,
+    )
+    sync_azure_storage_sql(
+        store,
+        fx.azure_storage_accounts(spark, sf_dir),
+        fx.azure_blob_containers(spark, sf_dir),
+        fx.azure_sql_servers(spark, sf_dir),
+        fx.azure_sql_databases(spark, sf_dir),
         update_tag,
     )
 

@@ -1408,3 +1408,93 @@ def ecs_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("ecs-container-"), ok.cast("string")).alias("container_id"),
         F.concat(F.lit("sha256:"), F.md5(F.concat(F.lit("code-"), (ok % 40).cast("string")))).alias("image_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (sixth batch): Azure storage + SQL
+#
+#   storage account = sa{c_custkey} in sub-{c % 5}            (c % 19 == 0);
+#                     one blob service each; containers docs+logs, with
+#                     public access on 'docs' when c % 3 == 0
+#   sql server      = sqlsrv-{s_suppkey} in sub-{s_nationkey % 5}
+#                     (s % 13 == 0); databases db0 (+db1 when s % 26 == 0)
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def azure_storage_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage accounts (reference intel/azure/storage.py:60-90).  Columns:
+    account_id, name, subscription_id."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 19) == 0)
+    ck = F.col("c_custkey")
+    sub = F.concat(F.lit("sub-"), (ck % 5).cast("string"))
+    return c.select(
+        F.concat(
+            F.lit("/subscriptions/"), sub,
+            F.lit("/resourceGroups/rg-0/providers/Microsoft.Storage/storageAccounts/sa"),
+            ck.cast("string"),
+        ).alias("account_id"),
+        F.concat(F.lit("sa"), ck.cast("string")).alias("name"),
+        sub.alias("subscription_id"),
+    )
+
+
+@plan_memo
+def azure_blob_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob service + containers per account (reference storage.py:360-380
+    USES, :540-560 CONTAINS).  Columns: container_id, blob_service_id,
+    account_id, name, public_access."""
+    sa = azure_storage_accounts(spark, sf_dir)
+    bs = sa.select(
+        "account_id",
+        F.concat(F.col("account_id"), F.lit("/blobServices/default")).alias("blob_service_id"),
+    )
+    ex = bs.select(
+        "account_id", "blob_service_id",
+        F.explode(F.array(F.lit("docs"), F.lit("logs"))).alias("name"),
+    )
+    ck = F.regexp_extract("account_id", r"storageAccounts/sa(\d+)", 1).cast("long")
+    return ex.select(
+        F.concat(F.col("blob_service_id"), F.lit("/containers/"), F.col("name")).alias("container_id"),
+        "blob_service_id",
+        "account_id",
+        "name",
+        (((ck % 3) == 0) & (F.col("name") == "docs")).cast("string").alias("public_access"),
+    )
+
+
+@plan_memo
+def azure_sql_servers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL servers (reference intel/azure/sql.py:60-85).  Columns:
+    server_id, name, subscription_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 13) == 0)
+    sk = F.col("s_suppkey")
+    sub = F.concat(F.lit("sub-"), (F.col("s_nationkey") % 5).cast("string"))
+    return s.select(
+        F.concat(
+            F.lit("/subscriptions/"), sub,
+            F.lit("/resourceGroups/rg-0/providers/Microsoft.Sql/servers/sqlsrv-"),
+            sk.cast("string"),
+        ).alias("server_id"),
+        F.concat(F.lit("sqlsrv-"), sk.cast("string")).alias("name"),
+        sub.alias("subscription_id"),
+    )
+
+
+@plan_memo
+def azure_sql_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Databases per server (reference sql.py:570-600).  Columns: db_id,
+    server_id, name."""
+    srv = azure_sql_servers(spark, sf_dir)
+    sk = F.regexp_extract("server_id", r"servers/sqlsrv-(\d+)", 1).cast("long")
+    ex = srv.select(
+        "server_id",
+        F.explode(
+            F.when((sk % 26) == 0, F.array(F.lit("db0"), F.lit("db1"))).otherwise(F.array(F.lit("db0")))
+        ).alias("name"),
+    )
+    return ex.select(
+        F.concat(F.col("server_id"), F.lit("/databases/"), F.col("name")).alias("db_id"),
+        "server_id",
+        "name",
+    )

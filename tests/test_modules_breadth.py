@@ -415,3 +415,28 @@ def test_ecs_module_chain(spark, store):
     assert n_tasks >= len({t[0] for t in task_edges})
     cont = check_rels(store, "ECSTask", "HAS_CONTAINER", "ECSContainer")
     assert len(cont) == n_tasks
+
+
+def test_azure_storage_sql_modules(spark, store):
+    """storage account -> blob service -> container chain and SQL server ->
+    database family (reference azure/storage.py, azure/sql.py)."""
+    from cartography_spark.modules.azure import sync_azure, sync_azure_storage_sql
+
+    sync_azure(store, fx.azure_subscriptions(spark, SF), fx.azure_vms(spark, SF), T1)
+    sync_azure_storage_sql(
+        store,
+        fx.azure_storage_accounts(spark, SF),
+        fx.azure_blob_containers(spark, SF),
+        fx.azure_sql_servers(spark, SF),
+        fx.azure_sql_databases(spark, SF),
+        T1,
+    )
+    uses = check_rels(store, "AzureStorageAccount", "USES", "AzureStorageBlobService")
+    contains = check_rels(store, "AzureStorageBlobService", "CONTAINS", "AzureStorageBlobContainer")
+    assert len(uses) > 0 and len(contains) == 2 * len(uses)  # docs+logs per account
+    sub_res = check_rels(store, "AzureSubscription", "RESOURCE", "AzureStorageAccount")
+    assert {a for _, a in sub_res} == {a for a, _ in uses}
+    dbs = check_rels(store, "AzureSQLServer", "RESOURCE", "AzureSQLDatabase")
+    assert len(dbs) > 0
+    for srv, db in dbs:
+        assert db.startswith(srv + "/databases/")
