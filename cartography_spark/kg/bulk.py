@@ -7,7 +7,11 @@ what Iceberg MERGE INTO makes cheap (only changed files rewritten); on the
 sandbox's plain-parquet store each commit rewrites the tables, so the bulk
 path exists for (a) benchmarks measuring compute rather than commit count
 and (b) cold-start initial loads, where one commit is the right shape
-anyway.  Both paths produce identical triples (asserted in tests).
+anyway.  Scope: the bulk builder covers the core AWS IAM/EMR/S3 + Okta +
+documents family set (the benchmark slice); the staged ``run_sync`` is the
+full provider surface.  For the shared families both paths produce
+identical triples (same compile_* programs; POLICY/permission edges reuse
+the staged path's principal resolution).
 """
 
 from __future__ import annotations
