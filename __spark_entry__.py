@@ -1238,6 +1238,81 @@ def _q_kg_azure_sql_dbs(spark, sf_dir):
     )
 
 
+def _q_kg_host_cves(spark, sf_dir):
+    """host -> Spotlight vulnerability -> CVE chain (reference
+    crowdstrike/spotlight.py:35-103)."""
+    from cartography_spark.sources import fixtures as fx
+
+    hosts = fx.crowdstrike_hosts(spark, sf_dir).select("device_id")
+    return (
+        fx.spotlight_vulns(spark, sf_dir)
+        .join(F.broadcast(hosts), "device_id")
+        .select("device_id", "vuln_id", "cve_id")
+    )
+
+
+def _q_kg_duo_humans(spark, sf_dir):
+    """Duo users joined to Humans on the shared email key — the identity
+    attach pattern (reference models/duo + gsuite_human_link analog)."""
+    from cartography_spark.sources import fixtures as fx
+
+    humans = fx.humans(spark, sf_dir).select("email")
+    return (
+        fx.duo_users(spark, sf_dir)
+        .join(humans, "email")
+        .select("user_id", "email")
+    )
+
+
+def _q_kg_lastpass_identity(spark, sf_dir):
+    """(Human)-[:IDENTITY_LASTPASS]->(LastpassUser) via the schema compiler
+    (reference models/lastpass/user.py:45-50)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.hr import HUMAN_SCHEMA
+    from cartography_spark.modules.saas import LASTPASS_USER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    hnodes = compile_nodes(fx.humans(spark, sf_dir), HUMAN_SCHEMA, T1)
+    edges = compile_edges(
+        fx.lastpass_users(spark, sf_dir),
+        LASTPASS_USER_SCHEMA,
+        hnodes,
+        T1,
+        selected_relationships=["IDENTITY_LASTPASS"],
+    )
+    return edges.select(
+        F.col("src_id").alias("human_email"), F.col("dst_id").alias("user_id")
+    )
+
+
+def _q_kg_semgrep_repo_cves(spark, sf_dir):
+    """Semgrep findings gated on repo existence, carrying the linked CVE
+    (reference models/semgrep/findings.py FOUND_IN + LINKED_TO)."""
+    from cartography_spark.sources import fixtures as fx
+
+    repos = fx.github_repos(spark, sf_dir).select(F.col("id").alias("repo_url"))
+    return (
+        fx.semgrep_findings(spark, sf_dir)
+        .join(F.broadcast(repos), "repo_url")
+        .select("finding_id", "repo_url", "cve_id")
+    )
+
+
+def _q_kg_snipeit_checkouts(spark, sf_dir):
+    """(asset)-[:HAS_CHECKED_OUT]->(user) existence-gated checkout join
+    (reference models/snipeit/asset.py:62-67)."""
+    from cartography_spark.sources import fixtures as fx
+
+    users = fx.snipeit_users(spark, sf_dir).select(
+        F.col("user_id").alias("checked_out_to")
+    )
+    return (
+        fx.snipeit_assets(spark, sf_dir)
+        .join(F.broadcast(users), "checked_out_to")
+        .select(F.col("asset_id"), F.col("checked_out_to").alias("user_id"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_accounts": _q_kg_accounts,
@@ -1281,6 +1356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_es_dns": _q_kg_es_dns,
         "kg_azure_public_containers": _q_kg_azure_public_containers,
         "kg_azure_sql_dbs": _q_kg_azure_sql_dbs,
+        "kg_host_cves": _q_kg_host_cves,
+        "kg_duo_humans": _q_kg_duo_humans,
+        "kg_lastpass_identity": _q_kg_lastpass_identity,
+        "kg_semgrep_repo_cves": _q_kg_semgrep_repo_cves,
+        "kg_snipeit_checkouts": _q_kg_snipeit_checkouts,
         "kg_sqs_dlq": _q_kg_sqs_dlq,
         "kg_kms_aliases": _q_kg_kms_aliases,
         "kg_apigw_chain": _q_kg_apigw_chain,
@@ -1794,6 +1874,58 @@ def oracle_sql() -> dict[str, str]:
                    '.us-east-1.es.example.com+CNAME' AS record_id,
                    'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
             FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+        # Crowdstrike: host -> vuln -> CVE chain (1 + c%3 vulns per host)
+        "kg_host_cves": """
+            SELECT 'cs-host-' || CAST(c_custkey AS VARCHAR) || '/CVE-2024-' ||
+                   CAST((c_custkey + 7 * i) % 900 AS VARCHAR) AS vuln_id,
+                   'cs-host-' || CAST(c_custkey AS VARCHAR) AS device_id,
+                   'CVE-2024-' || CAST((c_custkey + 7 * i) % 900 AS VARCHAR) AS cve_id
+            FROM customer, UNNEST(generate_series(0, 2)) AS t(i)
+            WHERE c_custkey % 21 = 0 AND i <= c_custkey % 3
+        """,
+        # Duo users sharing the Human email space (c%4 ∩ c%3 = c%12)
+        "kg_duo_humans": """
+            SELECT 'duo-' || CAST(c_custkey AS VARCHAR) AS user_id,
+                   'user-' || CAST(c_custkey AS VARCHAR) || '@corp-' ||
+                   CAST(c_nationkey AS VARCHAR) || '.example.com' AS email
+            FROM customer WHERE c_custkey % 12 = 0
+        """,
+        # Lastpass identity edges (c%10 ∩ c%3 = c%30)
+        "kg_lastpass_identity": """
+            SELECT 'user-' || CAST(c_custkey AS VARCHAR) || '@corp-' ||
+                   CAST(c_nationkey AS VARCHAR) || '.example.com' AS human_email,
+                   'lp-' || CAST(c_custkey AS VARCHAR) AS user_id
+            FROM customer WHERE c_custkey % 30 = 0
+        """,
+        # Semgrep findings gated on repo existence (repo keys are p%50==0)
+        "kg_semgrep_repo_cves": """
+            WITH repos AS (
+              SELECT 'https://github.com/corp/repo-' || CAST(p_partkey AS VARCHAR) AS repo_url
+              FROM part WHERE p_partkey % 50 = 0
+            ),
+            findings AS (
+              SELECT 'sca-' || CAST(p_partkey AS VARCHAR) AS finding_id,
+                     'https://github.com/corp/repo-' ||
+                     CAST(50 * (CAST(p_partkey / 29 AS BIGINT) % 40) AS VARCHAR) AS repo_url,
+                     'CVE-2023-' || CAST(p_partkey % 500 AS VARCHAR) AS cve_id
+              FROM part WHERE p_partkey % 29 = 0
+            )
+            SELECT finding_id, repo_url, cve_id FROM findings JOIN repos USING (repo_url)
+        """,
+        # SnipeIT checkout joins (user keys are c%14==0, contiguous customers)
+        "kg_snipeit_checkouts": """
+            WITH users AS (
+              SELECT 'snipe-user-' || CAST(c_custkey AS VARCHAR) AS user_id
+              FROM customer WHERE c_custkey % 14 = 0
+            ),
+            assets AS (
+              SELECT 'snipe-asset-' || CAST(p_partkey AS VARCHAR) AS asset_id,
+                     'snipe-user-' ||
+                     CAST(14 * (CAST(p_partkey / 41 AS BIGINT) % 150) AS VARCHAR) AS user_id
+              FROM part WHERE p_partkey % 41 = 0
+            )
+            SELECT asset_id, user_id FROM assets JOIN users USING (user_id)
         """,
         # Azure: publicly accessible blob containers (docs container on
         # c % 3 == 0 accounts)

@@ -35,8 +35,10 @@ from cartography_spark.modules.aws_inventory import (
 )
 from cartography_spark.modules.azure import sync_azure, sync_azure_storage_sql
 from cartography_spark.modules.digitalocean import sync_digitalocean
+from cartography_spark.modules.devices import sync_devices
 from cartography_spark.modules.gcp import sync_gcp
 from cartography_spark.modules.gsuite import sync_gsuite
+from cartography_spark.modules.saas import sync_saas
 from cartography_spark.modules.github import sync_github
 from cartography_spark.modules.hr import sync_humans
 from cartography_spark.sources import fixtures as fx
@@ -220,6 +222,21 @@ def run_sync(
     # HR feed: Human nodes (human_link analysis attaches Okta identities)
     sync_humans(store, fx.humans(spark, sf_dir), update_tag)
 
+    # Device/endpoint tier: Crowdstrike hosts + Spotlight vulns + CVEs,
+    # Kandji, Jamf, Bigfix, SnipeIT checkouts
+    sync_devices(
+        store,
+        fx.crowdstrike_hosts(spark, sf_dir),
+        fx.spotlight_vulns(spark, sf_dir),
+        fx.kandji_devices(spark, sf_dir),
+        fx.jamf_groups(spark, sf_dir),
+        fx.bigfix_computers(spark, sf_dir),
+        fx.snipeit_users(spark, sf_dir),
+        fx.snipeit_assets(spark, sf_dir),
+        update_tag,
+    )
+
+
     okta.sync_okta(
         store,
         fx.okta_orgs(spark, sf_dir),
@@ -238,6 +255,19 @@ def run_sync(
             fx.github_users(spark, sf_dir),
             update_tag,
         )
+
+    # SaaS identity + code scanning: Duo, Lastpass (IDENTITY_LASTPASS ->
+    # Human), Semgrep findings -> GitHub repos + the shared CVE space.
+    # Runs after humans and github so both join targets are live; with
+    # with_github=False the FOUND_IN edges drop cleanly (inner join).
+    sync_saas(
+        store,
+        fx.duo_users(spark, sf_dir),
+        fx.duo_phones(spark, sf_dir),
+        fx.lastpass_users(spark, sf_dir),
+        fx.semgrep_findings(spark, sf_dir),
+        update_tag,
+    )
 
     # deferred stages (reference defers rpr + tags to the end,
     # intel/aws/__init__.py:62-76); permission edges come from the

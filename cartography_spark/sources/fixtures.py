@@ -1498,3 +1498,196 @@ def azure_sql_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "server_id",
         "name",
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (seventh batch): device + SaaS identity tier
+# (Crowdstrike, Duo, Kandji, Jamf, Lastpass, Semgrep, SnipeIT, Bigfix)
+#
+#   crowdstrike host = cs-host-{c_custkey} (c % 21 == 0); 1 + (c % 3)
+#                      Spotlight vulns each, cve CVE-2024-{(c + 7i) % 900}
+#   duo user         = duo-{c_custkey} (c % 4 == 0), email grammar shared
+#                      with Human (c % 3 == 0) -> identity joins filter
+#   duo phone        = duo-phone-{c} for duo users with c % 8 == 0
+#   kandji device    = kandji-{p_partkey} (p % 43 == 0), single tenant
+#   jamf group       = jamf-group-{n_nationkey}
+#   lastpass user    = lp-{c_custkey} (c % 10 == 0), email grammar ->
+#                      IDENTITY_LASTPASS joins Humans at c % 30 == 0
+#   semgrep finding  = sca-{p_partkey} (p % 29 == 0) on github repo
+#                      repo-{50 * ((p/29) % 40)} (absent repos drop via the
+#                      join), cve CVE-2023-{p % 500}
+#   snipeit asset    = snipe-asset-{p_partkey} (p % 41 == 0) checked out to
+#                      snipe-user-{14 * ((p/41) % 150)} (existence-gated)
+#   snipeit user     = snipe-user-{c_custkey} (c % 14 == 0)
+#   bigfix computer  = bigfix-{s_suppkey} (s % 5 == 0)
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def crowdstrike_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crowdstrike hosts (reference intel/crowdstrike/endpoints.py:35).
+    Columns: device_id, hostname, platform."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 21) == 0)
+    ck = F.col("c_custkey")
+    return c.select(
+        F.concat(F.lit("cs-host-"), ck.cast("string")).alias("device_id"),
+        F.concat(F.lit("host"), ck.cast("string")).alias("hostname"),
+        F.element_at(
+            F.array(F.lit("Windows"), F.lit("Mac"), F.lit("Linux")), (ck % 3 + 1).cast("int")
+        ).alias("platform"),
+    )
+
+
+@plan_memo
+def spotlight_vulns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spotlight vulnerabilities, 1 + (c % 3) per host, each carrying a CVE
+    (reference intel/crowdstrike/spotlight.py:35-103).  Columns: vuln_id,
+    device_id, cve_id."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 21) == 0)
+    ck = F.col("c_custkey")
+    ex = c.select(
+        ck.alias("ck"),
+        F.explode(F.sequence(F.lit(0), (ck % 3).cast("int"))).alias("i"),
+    )
+    cve = F.concat(
+        F.lit("CVE-2024-"), ((F.col("ck") + 7 * F.col("i")) % 900).cast("string")
+    )
+    return ex.select(
+        F.concat(
+            F.lit("cs-host-"), F.col("ck").cast("string"), F.lit("/"), cve
+        ).alias("vuln_id"),
+        F.concat(F.lit("cs-host-"), F.col("ck").cast("string")).alias("device_id"),
+        cve.alias("cve_id"),
+    )
+
+
+@plan_memo
+def duo_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duo users under one api host (reference intel/duo/users.py;
+    models/duo/user.py).  Columns: user_id, email, api_host."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 4) == 0)
+    ck = F.col("c_custkey").cast("string")
+    return c.select(
+        F.concat(F.lit("duo-"), ck).alias("user_id"),
+        F.concat(
+            F.lit("user-"), ck, F.lit("@corp-"), F.col("c_nationkey").cast("string"),
+            F.lit(".example.com"),
+        ).alias("email"),
+        F.lit("api-host.duosecurity.com").alias("api_host"),
+    )
+
+
+@plan_memo
+def duo_phones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One phone per duo user with c % 8 == 0 (reference intel/duo/phones.py).
+    Columns: phone_id, user_id, platform."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 8) == 0)
+    ck = F.col("c_custkey").cast("string")
+    return c.select(
+        F.concat(F.lit("duo-phone-"), ck).alias("phone_id"),
+        F.concat(F.lit("duo-"), ck).alias("user_id"),
+        F.when((F.col("c_custkey") % 16) == 0, F.lit("ios")).otherwise(F.lit("android")).alias("platform"),
+    )
+
+
+@plan_memo
+def kandji_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kandji devices under one tenant (reference models/kandji/device.py).
+    Columns: device_id, name, tenant_id."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 43) == 0)
+    pk = F.col("p_partkey").cast("string")
+    return p.select(
+        F.concat(F.lit("kandji-"), pk).alias("device_id"),
+        F.concat(F.lit("mac-"), pk).alias("name"),
+        F.lit("kandji-tenant").alias("tenant_id"),
+    )
+
+
+@plan_memo
+def jamf_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jamf computer groups (reference intel/jamf/computers.py:24).
+    Columns: group_id, name."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("jamf-group-"), nk).alias("group_id"),
+        F.concat(F.lit("jamf-"), nk).alias("name"),
+    )
+
+
+@plan_memo
+def lastpass_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lastpass users (reference models/lastpass/user.py: IDENTITY_LASTPASS
+    joins Human by email).  Columns: user_id, email, tenant_id."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 10) == 0)
+    ck = F.col("c_custkey").cast("string")
+    return c.select(
+        F.concat(F.lit("lp-"), ck).alias("user_id"),
+        F.concat(
+            F.lit("user-"), ck, F.lit("@corp-"), F.col("c_nationkey").cast("string"),
+            F.lit(".example.com"),
+        ).alias("email"),
+        F.lit("lastpass-tenant").alias("tenant_id"),
+    )
+
+
+@plan_memo
+def semgrep_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semgrep SCA findings on GitHub repos (reference
+    models/semgrep/findings.py: FOUND_IN -> GitHubRepository, LINKED_TO ->
+    CVE).  Repo refs that do not exist drop via the join.  Columns:
+    finding_id, repo_url, cve_id, severity, deployment_id."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 29) == 0)
+    pk = F.col("p_partkey")
+    repo_key = (50 * ((pk / 29).cast("long") % 40)).cast("string")
+    return p.select(
+        F.concat(F.lit("sca-"), pk.cast("string")).alias("finding_id"),
+        F.concat(F.lit("https://github.com/corp/repo-"), repo_key).alias("repo_url"),
+        F.concat(F.lit("CVE-2023-"), (pk % 500).cast("string")).alias("cve_id"),
+        F.element_at(
+            F.array(F.lit("LOW"), F.lit("MEDIUM"), F.lit("HIGH")), (pk % 3 + 1).cast("int")
+        ).alias("severity"),
+        F.lit("sg-deploy").alias("deployment_id"),
+    )
+
+
+@plan_memo
+def snipeit_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnipeIT users (reference models/snipeit/user.py).  Columns: user_id,
+    name, tenant_id."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 14) == 0)
+    ck = F.col("c_custkey").cast("string")
+    return c.select(
+        F.concat(F.lit("snipe-user-"), ck).alias("user_id"),
+        F.col("c_name").alias("name"),
+        F.lit("snipeit-tenant").alias("tenant_id"),
+    )
+
+
+@plan_memo
+def snipeit_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnipeIT assets checked out to users (reference
+    models/snipeit/asset.py: HAS_CHECKED_OUT; absent users drop via the
+    join).  Columns: asset_id, name, tenant_id, checked_out_to."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 41) == 0)
+    pk = F.col("p_partkey")
+    user_key = (14 * ((pk / 41).cast("long") % 150)).cast("string")
+    return p.select(
+        F.concat(F.lit("snipe-asset-"), pk.cast("string")).alias("asset_id"),
+        F.concat(F.lit("laptop-"), pk.cast("string")).alias("name"),
+        F.lit("snipeit-tenant").alias("tenant_id"),
+        F.concat(F.lit("snipe-user-"), user_key).alias("checked_out_to"),
+    )
+
+
+@plan_memo
+def bigfix_computers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigfix computers (reference models/bigfix/bigfix_computer.py).
+    Columns: computer_id, name, root_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 5) == 0)
+    sk = F.col("s_suppkey").cast("string")
+    return s.select(
+        F.concat(F.lit("bigfix-"), sk).alias("computer_id"),
+        F.concat(F.lit("bf-host-"), sk).alias("name"),
+        F.lit("bigfix-root").alias("root_id"),
+    )

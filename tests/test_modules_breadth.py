@@ -440,3 +440,84 @@ def test_azure_storage_sql_modules(spark, store):
     assert len(dbs) > 0
     for srv, db in dbs:
         assert db.startswith(srv + "/databases/")
+
+
+def test_devices_module(spark, store):
+    """Crowdstrike host->vuln->CVE chain, Kandji/Bigfix/SnipeIT tenancies,
+    checkout existence gate (reference crowdstrike/spotlight.py,
+    models/{kandji,bigfix,snipeit}/*)."""
+    from cartography_spark.modules.devices import sync_devices
+
+    sync_devices(
+        store,
+        fx.crowdstrike_hosts(spark, SF),
+        fx.spotlight_vulns(spark, SF),
+        fx.kandji_devices(spark, SF),
+        fx.jamf_groups(spark, SF),
+        fx.bigfix_computers(spark, SF),
+        fx.snipeit_users(spark, SF),
+        fx.snipeit_assets(spark, SF),
+        T1,
+    )
+    hv = check_rels(store, "CrowdstrikeHost", "HAS_VULNERABILITY", "SpotlightVulnerability")
+    hc = check_rels(store, "SpotlightVulnerability", "HAS_CVE", "CVE")
+    assert len(hv) > 0 and len(hc) == len(hv)  # every vuln carries one CVE
+    enr = check_rels(store, "KandjiDevice", "ENROLLED_TO", "KandjiTenant")
+    assert {t for _, t in enr} == {"kandji-tenant"}
+    bf = check_rels(store, "BigfixRoot", "RESOURCE", "BigfixComputer")
+    assert len(bf) > 0
+    co = check_rels(store, "SnipeitAsset", "HAS_CHECKED_OUT", "SnipeitUser")
+    user_ids = {
+        r[0] for r in store.nodes().where(F.col("label") == "SnipeitUser").select("id").collect()
+    }
+    assert len(co) > 0 and {u for _, u in co} <= user_ids
+
+
+def test_saas_module(spark, store):
+    """Duo phones, Lastpass IDENTITY edges, Semgrep repo gate + shared CVE
+    space with Crowdstrike (MERGE-by-id collapse)."""
+    from cartography_spark.modules.devices import sync_devices
+    from cartography_spark.modules.github import sync_github
+    from cartography_spark.modules.hr import sync_humans
+    from cartography_spark.modules.saas import sync_saas
+
+    sync_humans(store, fx.humans(spark, SF), T1)
+    sync_github(
+        store,
+        fx.github_repos(spark, SF),
+        fx.github_requirements(spark, SF),
+        fx.github_users(spark, SF),
+        T1,
+    )
+    sync_devices(
+        store,
+        fx.crowdstrike_hosts(spark, SF),
+        fx.spotlight_vulns(spark, SF),
+        fx.kandji_devices(spark, SF),
+        fx.jamf_groups(spark, SF),
+        fx.bigfix_computers(spark, SF),
+        fx.snipeit_users(spark, SF),
+        fx.snipeit_assets(spark, SF),
+        T1,
+    )
+    sync_saas(
+        store,
+        fx.duo_users(spark, SF),
+        fx.duo_phones(spark, SF),
+        fx.lastpass_users(spark, SF),
+        fx.semgrep_findings(spark, SF),
+        T1,
+    )
+    phones = check_rels(store, "DuoUser", "HAS_DUO_PHONE", "DuoPhone")
+    assert len(phones) > 0
+    ident = check_rels(store, "Human", "IDENTITY_LASTPASS", "LastpassUser")
+    assert len(ident) > 0
+    found_in = check_rels(store, "SemgrepSCAFinding", "FOUND_IN", "GitHubRepository")
+    repo_ids = {
+        r[0]
+        for r in store.nodes().where(F.col("label") == "GitHubRepository").select("id").collect()
+    }
+    assert len(found_in) > 0 and {r for _, r in found_in} <= repo_ids
+    # CVE id space is shared: no duplicate CVE nodes despite two writers
+    cves = store.nodes().where(F.col("label") == "CVE")
+    assert cves.count() == cves.select("id").distinct().count()
