@@ -1313,6 +1313,41 @@ def _q_kg_snipeit_checkouts(spark, sf_dir):
     )
 
 
+def _q_kg_pagerduty_chain(spark, sf_dir):
+    """team -> service -> escalation policy chain (reference
+    pagerduty/services.py:115, escalation_policies.py:174)."""
+    from cartography_spark.sources import fixtures as fx
+
+    teams = fx.pd_teams(spark, sf_dir).select("team_id")
+    eps = fx.pd_escalation_policies(spark, sf_dir).select("ep_id")
+    return (
+        fx.pd_services(spark, sf_dir)
+        .join(F.broadcast(teams), "team_id")
+        .join(F.broadcast(eps), "ep_id")
+        .select("team_id", "service_id", "ep_id")
+    )
+
+
+def _q_kg_oci_members(spark, sf_dir):
+    """(OCIUser)-[:MEMBER_OCID_GROUP]->(OCIGroup) via the schema compiler
+    (reference oci/iam.py:248)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.pagerduty_oci import OCI_GROUP_SCHEMA, OCI_USER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    gnodes = compile_nodes(fx.oci_groups(spark, sf_dir), OCI_GROUP_SCHEMA, T1)
+    edges = compile_edges(
+        fx.oci_users(spark, sf_dir),
+        OCI_USER_SCHEMA,
+        gnodes,
+        T1,
+        selected_relationships=["MEMBER_OCID_GROUP"],
+    )
+    return edges.select(
+        F.col("src_id").alias("user_ocid"), F.col("dst_id").alias("group_ocid")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_accounts": _q_kg_accounts,
@@ -1356,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_es_dns": _q_kg_es_dns,
         "kg_azure_public_containers": _q_kg_azure_public_containers,
         "kg_azure_sql_dbs": _q_kg_azure_sql_dbs,
+        "kg_pagerduty_chain": _q_kg_pagerduty_chain,
+        "kg_oci_members": _q_kg_oci_members,
         "kg_host_cves": _q_kg_host_cves,
         "kg_duo_humans": _q_kg_duo_humans,
         "kg_lastpass_identity": _q_kg_lastpass_identity,
@@ -1874,6 +1911,19 @@ def oracle_sql() -> dict[str, str]:
                    '.us-east-1.es.example.com+CNAME' AS record_id,
                    'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
             FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+        # PagerDuty: team -> service -> escalation policy chain
+        "kg_pagerduty_chain": """
+            SELECT 'pd-team-' || CAST(s_nationkey AS VARCHAR) AS team_id,
+                   'pd-svc-' || CAST(s_suppkey AS VARCHAR) AS service_id,
+                   'pd-ep-' || CAST(s_nationkey AS VARCHAR) AS ep_id
+            FROM supplier WHERE s_suppkey % 8 = 0
+        """,
+        # OCI: user -> group membership
+        "kg_oci_members": """
+            SELECT 'oci-user-' || CAST(c_custkey AS VARCHAR) AS user_ocid,
+                   'oci-group-' || CAST(c_nationkey AS VARCHAR) AS group_ocid
+            FROM customer WHERE c_custkey % 16 = 0
         """,
         # Crowdstrike: host -> vuln -> CVE chain (1 + c%3 vulns per host)
         "kg_host_cves": """

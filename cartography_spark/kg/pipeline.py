@@ -38,6 +38,7 @@ from cartography_spark.modules.digitalocean import sync_digitalocean
 from cartography_spark.modules.devices import sync_devices
 from cartography_spark.modules.gcp import sync_gcp
 from cartography_spark.modules.gsuite import sync_gsuite
+from cartography_spark.modules.pagerduty_oci import sync_oci, sync_pagerduty
 from cartography_spark.modules.saas import sync_saas
 from cartography_spark.modules.github import sync_github
 from cartography_spark.modules.hr import sync_humans
@@ -221,6 +222,24 @@ def run_sync(
 
     # HR feed: Human nodes (human_link analysis attaches Okta identities)
     sync_humans(store, fx.humans(spark, sf_dir), update_tag)
+
+    # PagerDuty on-call graph + OCI IAM (completes the provider sweep)
+    sync_pagerduty(
+        store,
+        fx.pd_teams(spark, sf_dir),
+        fx.pd_escalation_policies(spark, sf_dir),
+        fx.pd_schedules(spark, sf_dir),
+        fx.pd_users(spark, sf_dir),
+        fx.pd_services(spark, sf_dir),
+        update_tag,
+    )
+    sync_oci(
+        store,
+        fx.oci_compartments(spark, sf_dir),
+        fx.oci_groups(spark, sf_dir),
+        fx.oci_users(spark, sf_dir),
+        update_tag,
+    )
 
     # Device/endpoint tier: Crowdstrike hosts + Spotlight vulns + CVEs,
     # Kandji, Jamf, Bigfix, SnipeIT checkouts

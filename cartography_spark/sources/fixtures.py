@@ -1691,3 +1691,111 @@ def bigfix_computers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("bf-host-"), sk).alias("name"),
         F.lit("bigfix-root").alias("root_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (eighth batch): PagerDuty + OCI (completes the provider
+# sweep vs the reference's intel/ directory)
+#
+#   pd team     = pd-team-{n_nationkey}; pd ep = pd-ep-{n}; pd schedule =
+#                 pd-sched-{n}                                         (25)
+#   pd user     = pd-user-{c_custkey} (c % 15 == 0), member of the team and
+#                 (when c % 30 == 0) the schedule of c_nationkey
+#   pd service  = pd-svc-{s_suppkey} (s % 8 == 0) on team/ep of s_nationkey
+#   oci tenancy = oci-tenancy-0 (single); compartment oci-comp-{n} per
+#                 nation; user oci-user-{c} (c % 16 == 0) member of
+#                 oci-group-{c_nationkey}
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def pd_teams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("pd-team-"), nk).alias("team_id"),
+        F.concat(F.lit("team-"), nk).alias("name"),
+    )
+
+
+@plan_memo
+def pd_escalation_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("pd-ep-"), nk).alias("ep_id"),
+        F.concat(F.lit("ep-"), nk).alias("name"),
+    )
+
+
+@plan_memo
+def pd_schedules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("pd-sched-"), nk).alias("schedule_id"),
+        F.concat(F.lit("oncall-"), nk).alias("name"),
+    )
+
+
+@plan_memo
+def pd_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columns: user_id, name, team_id, schedule_id (null unless c%30==0)."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 15) == 0)
+    ck = F.col("c_custkey")
+    nk = F.col("c_nationkey").cast("string")
+    return c.select(
+        F.concat(F.lit("pd-user-"), ck.cast("string")).alias("user_id"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("pd-team-"), nk).alias("team_id"),
+        F.when((ck % 30) == 0, F.concat(F.lit("pd-sched-"), nk)).alias("schedule_id"),
+    )
+
+
+@plan_memo
+def pd_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columns: service_id, name, team_id, ep_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 8) == 0)
+    sk = F.col("s_suppkey").cast("string")
+    nk = F.col("s_nationkey").cast("string")
+    return s.select(
+        F.concat(F.lit("pd-svc-"), sk).alias("service_id"),
+        F.concat(F.lit("svc-"), sk).alias("name"),
+        F.concat(F.lit("pd-team-"), nk).alias("team_id"),
+        F.concat(F.lit("pd-ep-"), nk).alias("ep_id"),
+    )
+
+
+@plan_memo
+def oci_compartments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("oci-comp-"), nk).alias("ocid"),
+        F.concat(F.lit("compartment-"), nk).alias("name"),
+        F.lit("oci-tenancy-0").alias("tenancy_ocid"),
+    )
+
+
+@plan_memo
+def oci_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("oci-group-"), nk).alias("ocid"),
+        F.concat(F.lit("group-"), nk).alias("name"),
+        F.lit("oci-tenancy-0").alias("tenancy_ocid"),
+    )
+
+
+@plan_memo
+def oci_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columns: ocid, name, tenancy_ocid, group_ocid."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 16) == 0)
+    ck = F.col("c_custkey").cast("string")
+    return c.select(
+        F.concat(F.lit("oci-user-"), ck).alias("ocid"),
+        F.col("c_name").alias("name"),
+        F.lit("oci-tenancy-0").alias("tenancy_ocid"),
+        F.concat(F.lit("oci-group-"), F.col("c_nationkey").cast("string")).alias("group_ocid"),
+    )

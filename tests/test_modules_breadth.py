@@ -521,3 +521,37 @@ def test_saas_module(spark, store):
     # CVE id space is shared: no duplicate CVE nodes despite two writers
     cves = store.nodes().where(F.col("label") == "CVE")
     assert cves.count() == cves.select("id").distinct().count()
+
+
+def test_pagerduty_oci_modules(spark, store):
+    """PagerDuty on-call graph edges and OCI IAM memberships (reference
+    intel/pagerduty/*, intel/oci/iam.py)."""
+    from cartography_spark.modules.pagerduty_oci import sync_oci, sync_pagerduty
+
+    sync_pagerduty(
+        store,
+        fx.pd_teams(spark, SF),
+        fx.pd_escalation_policies(spark, SF),
+        fx.pd_schedules(spark, SF),
+        fx.pd_users(spark, SF),
+        fx.pd_services(spark, SF),
+        T1,
+    )
+    sync_oci(
+        store,
+        fx.oci_compartments(spark, SF),
+        fx.oci_groups(spark, SF),
+        fx.oci_users(spark, SF),
+        T1,
+    )
+    team_m = check_rels(store, "PagerDutyUser", "MEMBER_OF", "PagerDutyTeam")
+    sched_m = check_rels(store, "PagerDutyUser", "MEMBER_OF", "PagerDutySchedule")
+    assert len(team_m) > 0 and 0 < len(sched_m) < len(team_m)  # schedule_id nullable
+    t2s = check_rels(store, "PagerDutyTeam", "ASSOCIATED_WITH", "PagerDutyService")
+    s2e = check_rels(store, "PagerDutyService", "ASSOCIATED_WITH", "PagerDutyEscalationPolicy")
+    assert len(t2s) == len(s2e) > 0
+
+    comp = check_rels(store, "OCITenancy", "OCI_COMPARTMENT", "OCICompartment")
+    assert len(comp) == 25
+    mem = check_rels(store, "OCIUser", "MEMBER_OCID_GROUP", "OCIGroup")
+    assert len(mem) > 0
