@@ -123,6 +123,7 @@ def compile_nodes(
     schema: NodeSchema,
     update_tag: int,
     kwargs: Mapping[str, object] | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Project an input batch into canonical node rows for one label.
 
@@ -159,6 +160,12 @@ def compile_nodes(
     # re-runs and partitionings, but NOT "last" in any input sense.  When
     # duplicate ids carry different props the surviving props may differ from
     # the reference's; callers that care must dedupe upstream.
+    # ``dedupe=False`` skips the window (one shuffle + a to_json/xxhash
+    # codegen span per family) for batches whose ids are unique by
+    # construction — the caller asserts uniqueness, exactly like a MERGE on
+    # a unique-constrained key.
+    if not dedupe:
+        return out
     return (
         out.selectExpr(
             "*",

@@ -97,13 +97,16 @@ def fixture_nodes(spark, sf_dir: str, update_tag: int):
     from cartography_spark.modules.okta import USER_SCHEMA as OKTA_USER_SCHEMA
     from cartography_spark.sources import fixtures as fx
 
+    # fixture ids are unique by construction (pure key formulas over
+    # distinct table keys) — skip the MERGE-collapse window per family
     parts = [
-        compile_nodes(fx.iam_users(spark, sf_dir), USER_SCHEMA, update_tag),
+        compile_nodes(fx.iam_users(spark, sf_dir), USER_SCHEMA, update_tag, dedupe=False),
         compile_nodes(
-            fx.iam_roles(spark, sf_dir).drop("trust_principals"), ROLE_SCHEMA, update_tag
+            fx.iam_roles(spark, sf_dir).drop("trust_principals"), ROLE_SCHEMA, update_tag,
+            dedupe=False,
         ),
-        compile_nodes(fx.emr_clusters(spark, sf_dir), EMR_CLUSTER_SCHEMA, update_tag),
-        compile_nodes(fx.okta_users(spark, sf_dir), OKTA_USER_SCHEMA, update_tag),
+        compile_nodes(fx.emr_clusters(spark, sf_dir), EMR_CLUSTER_SCHEMA, update_tag, dedupe=False),
+        compile_nodes(fx.okta_users(spark, sf_dir), OKTA_USER_SCHEMA, update_tag, dedupe=False),
     ]
     out = parts[0]
     for p in parts[1:]:
