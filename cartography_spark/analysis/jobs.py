@@ -540,3 +540,42 @@ def gcp_inet_exposure(
         store.commit_partial(
             rest.unionByName(marked), None, ["GCPInstance"], [], stage, update_tag
         )
+
+
+def k8s_lb_exposure(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """Engine-original k8s analog of the asset-exposure JSONs: LoadBalancer
+    services (internet-facing ingress per reference services.py's
+    load_balancer_ip/ingress fields) get exposed_internet = true."""
+    stage = "analysis:k8s_lb_exposure"
+    if store.stage_done(stage, update_tag):
+        return
+    _mark_label(
+        store,
+        "KubernetesService",
+        "exposed_internet",
+        F.element_at("props", "type") == "LoadBalancer",
+        stage,
+        update_tag,
+    )
+
+
+def rds_exposure(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """Engine-original RDS analog: publicly accessible AND unencrypted
+    instances get exposed_internet = true (the property pair reference
+    rds.py loads)."""
+    stage = "analysis:aws_rds_exposure"
+    if store.stage_done(stage, update_tag):
+        return
+    p = lambda k: F.element_at("props", k)  # noqa: E731
+    _mark_label(
+        store,
+        "RDSInstance",
+        "exposed_internet",
+        (p("publicly_accessible") == "true") & (p("storage_encrypted") == "false"),
+        stage,
+        update_tag,
+    )

@@ -33,11 +33,13 @@ def default_jobs() -> list[AnalysisJob]:
         gcp_inet_exposure,
         gke_basic_auth,
         gke_exposure,
+        k8s_lb_exposure,
         keypair_analysis,
         link_humans,
         link_lambda_ecr_images,
         mark_foreign_accounts,
         mark_s3_anonymous,
+        rds_exposure,
     )
 
     # One entry per reference JSON; aws_ec2_iaminstance.json is a duplicate
@@ -55,6 +57,10 @@ def default_jobs() -> list[AnalysisJob]:
         AnalysisJob("gcp_gke_exposure", gke_exposure),
         AnalysisJob("gcp_gke_basic_auth", gke_basic_auth),
         AnalysisJob("human_link", link_humans),
+        # engine-original exposure analogs for providers the reference has
+        # no packaged JSON for (same mark discipline)
+        AnalysisJob("k8s_lb_exposure", k8s_lb_exposure),
+        AnalysisJob("aws_rds_exposure", rds_exposure),
     ]
 
 

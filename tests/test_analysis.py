@@ -223,3 +223,50 @@ def test_gcp_inet_exposure_nonempty_at_sf001(spark, store):
     }
     want = {r.instance_id for r in entry._q_kg_gcp_exposed(spark, SF01).collect()}
     assert got == want and got
+
+
+def test_k8s_and_rds_exposure_marks(spark, store):
+    """Engine-original exposure analogs: LoadBalancer services and
+    public-unencrypted RDS instances get exposed_internet = true."""
+    import pyspark.sql.functions as F
+
+    from cartography_spark.analysis.jobs import k8s_lb_exposure, rds_exposure
+    from cartography_spark.modules.aws_base import sync_accounts
+    from cartography_spark.modules.aws_rds import sync_rds
+    from cartography_spark.modules.kubernetes import sync_kubernetes
+    from cartography_spark.sources import fixtures as fx
+
+    SF = "/root/testdata/sf0.001"
+    T1 = 111111111
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_rds(store, fx.rds_instances(spark, SF), T1)
+    sync_kubernetes(
+        store,
+        fx.k8s_clusters(spark, SF),
+        fx.k8s_namespaces(spark, SF),
+        fx.k8s_pods(spark, SF),
+        fx.k8s_containers(spark, SF),
+        fx.k8s_services(spark, SF),
+        fx.k8s_secrets(spark, SF),
+        T1,
+    )
+    k8s_lb_exposure(store, spark, SF, T1)
+    rds_exposure(store, spark, SF, T1)
+
+    svc = store.nodes().where(F.col("label") == "KubernetesService")
+    marked = {
+        (r[0], r[1])
+        for r in svc.select(
+            F.element_at("props", "type"), F.element_at("props", "exposed_internet")
+        ).collect()
+    }
+    for typ, exposed in marked:
+        assert (exposed == "true") == (typ == "LoadBalancer")
+
+    rds = store.nodes().where(F.col("label") == "RDSInstance")
+    for r in rds.select(
+        F.element_at("props", "publicly_accessible"),
+        F.element_at("props", "storage_encrypted"),
+        F.element_at("props", "exposed_internet"),
+    ).collect():
+        assert (r[2] == "true") == (r[0] == "true" and r[1] == "false")
