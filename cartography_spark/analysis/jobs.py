@@ -579,3 +579,33 @@ def rds_exposure(
         stage,
         update_tag,
     )
+
+
+def link_container_images(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """Container -> ECRImage provenance edges (the k8s/ECS analog of
+    aws_lambda_ecr.json): every KubernetesContainer / ECSContainer whose
+    image digest exists in the ECRImage space gets a HAS_IMAGE edge, plus
+    the stale-edge delete leg.  One broadcast equi-join per source label —
+    digests are unique, containers are the fact side."""
+    stage = "analysis:container_images"
+    img = store.nodes(labels=["ECRImage"]).select(F.col("id").alias("digest"))
+    pieces = []
+    for label, prop in (("KubernetesContainer", "image_sha"), ("ECSContainer", "image_digest")):
+        src = (
+            store.nodes(labels=[label])
+            .where(F.element_at("props", prop).isNotNull())
+            .select(
+                F.col("id").alias("src_id"),
+                F.element_at("props", prop).alias("digest"),
+            )
+        )
+        pairs = src.join(F.broadcast(img), "digest").select(
+            "src_id", F.col("digest").alias("dst_id")
+        )
+        pieces.append(_edge_frame(pairs, label, "HAS_IMAGE", "ECRImage", update_tag))
+    edges = pieces[0].unionByName(pieces[1])
+    if not store.stage_done(stage + ":edges", update_tag):
+        store.upsert(None, edges, stage + ":edges", update_tag)
+    _cleanup_rel(store, "HAS_IMAGE", update_tag, stage)

@@ -35,6 +35,7 @@ def default_jobs() -> list[AnalysisJob]:
         gke_exposure,
         k8s_lb_exposure,
         keypair_analysis,
+        link_container_images,
         link_humans,
         link_lambda_ecr_images,
         mark_foreign_accounts,
@@ -61,6 +62,7 @@ def default_jobs() -> list[AnalysisJob]:
         # no packaged JSON for (same mark discipline)
         AnalysisJob("k8s_lb_exposure", k8s_lb_exposure),
         AnalysisJob("aws_rds_exposure", rds_exposure),
+        AnalysisJob("container_images", link_container_images),
     ]
 
 

@@ -270,3 +270,51 @@ def test_k8s_and_rds_exposure_marks(spark, store):
         F.element_at("props", "exposed_internet"),
     ).collect():
         assert (r[2] == "true") == (r[0] == "true" and r[1] == "false")
+
+
+def test_container_image_links(spark, store):
+    """Container -> ECRImage HAS_IMAGE edges from the shared digest space
+    (the k8s/ECS analog of aws_lambda_ecr.json)."""
+    import pyspark.sql.functions as F
+
+    from cartography_spark.analysis.jobs import link_container_images
+    from cartography_spark.modules.aws_base import sync_accounts
+    from cartography_spark.modules.aws_ecs import sync_ecs
+    from cartography_spark.modules.aws_lambda import sync_lambda_ecr
+    from cartography_spark.modules.kubernetes import sync_kubernetes
+    from cartography_spark.sources import fixtures as fx
+    from tests.util import check_rels
+
+    SF = "/root/testdata/sf0.001"
+    T1 = 111111111
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_lambda_ecr(
+        store, fx.lambda_functions(spark, SF), fx.ecr_images(spark, SF), T1
+    )
+    sync_kubernetes(
+        store,
+        fx.k8s_clusters(spark, SF),
+        fx.k8s_namespaces(spark, SF),
+        fx.k8s_pods(spark, SF),
+        fx.k8s_containers(spark, SF),
+        fx.k8s_services(spark, SF),
+        fx.k8s_secrets(spark, SF),
+        T1,
+    )
+    sync_ecs(
+        store,
+        fx.ecs_clusters(spark, SF),
+        fx.ecs_services(spark, SF),
+        fx.ecs_task_defs(spark, SF),
+        fx.ecs_tasks(spark, SF),
+        T1,
+    )
+    link_container_images(store, spark, SF, T1)
+
+    k8s = check_rels(store, "KubernetesContainer", "HAS_IMAGE", "ECRImage")
+    ecs = check_rels(store, "ECSContainer", "HAS_IMAGE", "ECRImage")
+    assert len(k8s) > 0 and len(ecs) > 0
+    digests = {
+        r[0] for r in store.nodes().where(F.col("label") == "ECRImage").select("id").collect()
+    }
+    assert {d for _, d in k8s} | {d for _, d in ecs} <= digests
