@@ -89,7 +89,8 @@ def test_analysis_jobs_store_roundtrip(spark, store):
         "aws_asset_exposure", "aws_eks_exposure", "aws_foreign_accounts",
         "aws_s3acl", "aws_ec2_iaminstanceprofile", "aws_ec2_keypair",
         "aws_lambda_ecr", "gcp_inet_exposure", "gcp_gke_exposure",
-        "gcp_gke_basic_auth", "human_link",
+        "gcp_gke_basic_auth", "human_link", "k8s_lb_exposure",
+        "aws_rds_exposure", "container_images",
     }
     nodes, edges = store.nodes(), store.edges()
     # foreign accounts marked, inscope ones not

@@ -77,6 +77,10 @@ def test_ann_probe_is_partition_prune(spark, tmp_path):
 def test_parquet_scan_pushes_filters_and_prunes_columns(spark):
     """A filtered two-column projection must reach the scan as PushedFilters
     + a pruned ReadSchema (not a full-row scan)."""
+    # other suites may have cached the bare documents scan — CacheManager
+    # would then substitute InMemoryTableScan and hide the scan-level
+    # pushdown this test asserts
+    spark.catalog.clearCache()
     docs = fx.read_table(spark, SF, "documents")
     q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
     plan = _plan(q)
