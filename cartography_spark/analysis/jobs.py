@@ -134,6 +134,14 @@ def _cleanup_rel(store: GraphStore, rel_label: str, update_tag: int, stage: str)
         .where(F.col("lastupdated") != int(update_tag))
         .select("src_id", "rel_label", "dst_id")
     )
+    # Empty-probe before deleting: a first sync has no stale edges, and a
+    # delete is expensive there — it forces the write-behind buffer to
+    # flush (a full group commit) before running its own commit.  The probe
+    # reads one rel-pruned slice through the lazy merge view, no flush.
+    # Skipping also skips the stage checkpoint; re-running on resume is
+    # idempotent (still empty, or it deletes).
+    if stale.isEmpty():
+        return
     store.delete(None, stale, stage, update_tag)
 
 

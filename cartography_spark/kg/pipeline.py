@@ -355,4 +355,10 @@ def run_cleanup(spark: SparkSession, store: GraphStore, update_tag: int) -> None
         .where(F.col("lastupdated") != int(update_tag))
         .select("src_id", "rel_label", "dst_id")
     )
+    # First syncs have nothing stale — probe before paying the delete path
+    # (which flushes the write-behind buffer and commits).  The probes read
+    # through the lazy merge view; skipping the delete also skips the stage
+    # checkpoint, and re-running on resume is idempotent.
+    if stale_nodes.isEmpty() and stale_edges.isEmpty():
+        return
     store.delete(stale_nodes, stale_edges, stage, update_tag)
