@@ -137,10 +137,11 @@ def _cleanup_rel(store: GraphStore, rel_label: str, update_tag: int, stage: str)
     # Empty-probe before deleting: a first sync has no stale edges, and a
     # delete is expensive there — it forces the write-behind buffer to
     # flush (a full group commit) before running its own commit.  The probe
-    # reads one rel-pruned slice through the lazy merge view, no flush.
-    # Skipping also skips the stage checkpoint; re-running on resume is
-    # idempotent (still empty, or it deletes).
+    # reads one rel-pruned slice through the lazy merge view, no flush; a
+    # checkpoint-only upsert still records the stage (buffered into the
+    # next group commit) so resume skip-lists stay complete.
     if stale.isEmpty():
+        store.upsert(None, None, stage, update_tag)
         return
     store.delete(None, stale, stage, update_tag)
 

@@ -357,8 +357,9 @@ def run_cleanup(spark: SparkSession, store: GraphStore, update_tag: int) -> None
     )
     # First syncs have nothing stale — probe before paying the delete path
     # (which flushes the write-behind buffer and commits).  The probes read
-    # through the lazy merge view; skipping the delete also skips the stage
-    # checkpoint, and re-running on resume is idempotent.
+    # through the lazy merge view; a checkpoint-only upsert records the
+    # stage so resume still skips it.
     if stale_nodes.isEmpty() and stale_edges.isEmpty():
+        store.upsert(None, None, stage, update_tag)
         return
     store.delete(stale_nodes, stale_edges, stage, update_tag)
