@@ -1313,6 +1313,42 @@ def _q_kg_snipeit_checkouts(spark, sf_dir):
     )
 
 
+def _q_kg_two_tag_pods(spark, sf_dir):
+    """Two-tag mutation on a provider-sweep module: Kubernetes pods T1/T2
+    with removals (o % 10 == 7 drop in t2), label-scoped global cleanup —
+    survivors keep T1 firstseen with T2 lastupdated, removed pods (and
+    their HAS_POD edges, DETACH) are gone."""
+    from cartography_spark.core.store import GraphStore
+    from cartography_spark.kg.pipeline import run_cleanup
+    from cartography_spark.modules.kubernetes import sync_kubernetes
+    from cartography_spark.sources import fixtures as fx
+
+    root = tempfile.mkdtemp(prefix="twotag_pods_")
+    try:
+        store = GraphStore(spark, root, write_partitions=4)
+        for tag, variant in ((T1, "t1"), (T2, "t2")):
+            sync_kubernetes(
+                store,
+                fx.k8s_clusters(spark, sf_dir),
+                fx.k8s_namespaces(spark, sf_dir),
+                fx.k8s_pods(spark, sf_dir, variant),
+                fx.k8s_containers(spark, sf_dir, variant),
+                fx.k8s_services(spark, sf_dir),
+                fx.k8s_secrets(spark, sf_dir),
+                tag,
+            )
+        run_cleanup(spark, store, T2)
+        out = (
+            store.nodes()
+            .where(F.col("label") == "KubernetesPod")
+            .select("id", "firstseen", "lastupdated")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_kg_pagerduty_chain(spark, sf_dir):
     """team -> service -> escalation policy chain (reference
     pagerduty/services.py:115, escalation_policies.py:174)."""
@@ -1391,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_es_dns": _q_kg_es_dns,
         "kg_azure_public_containers": _q_kg_azure_public_containers,
         "kg_azure_sql_dbs": _q_kg_azure_sql_dbs,
+        "kg_two_tag_pods": _q_kg_two_tag_pods,
         "kg_pagerduty_chain": _q_kg_pagerduty_chain,
         "kg_oci_members": _q_kg_oci_members,
         "kg_host_cves": _q_kg_host_cves,
@@ -1911,6 +1948,12 @@ def oracle_sql() -> dict[str, str]:
                    '.us-east-1.es.example.com+CNAME' AS record_id,
                    'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
             FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+        # Two-tag pods: survivors of the t2 removal keep T1 firstseen
+        "kg_two_tag_pods": f"""
+            SELECT 'pod-' || CAST(o_orderkey AS VARCHAR) AS id,
+                   {T1} AS firstseen, {T2} AS lastupdated
+            FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 7
         """,
         # PagerDuty: team -> service -> escalation policy chain
         "kg_pagerduty_chain": """
