@@ -1313,6 +1313,40 @@ def _q_kg_snipeit_checkouts(spark, sf_dir):
     )
 
 
+def _q_kg_redshift_sg(spark, sf_dir):
+    """RedshiftCluster -> EC2SecurityGroup membership via the schema
+    compiler (reference redshift.py:99-100); sg refs outside the live SG
+    population drop."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_SG_SCHEMA
+    from cartography_spark.modules.aws_inventory import REDSHIFT_CLUSTER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    sgs = compile_nodes(fx.ec2_security_groups(spark, sf_dir), EC2_SG_SCHEMA, T1)
+    edges = compile_edges(
+        fx.redshift_clusters(spark, sf_dir),
+        REDSHIFT_CLUSTER_SCHEMA,
+        sgs,
+        T1,
+        selected_relationships=["MEMBER_OF_EC2_SECURITY_GROUP"],
+    )
+    return edges.select(
+        F.col("src_id").alias("cluster_arn"), F.col("dst_id").alias("sg_id")
+    )
+
+
+def _q_kg_secrets_unrotated(spark, sf_dir):
+    """Secrets without rotation — the property-predicate security slice over
+    reference secretsmanager.py fields."""
+    from cartography_spark.sources import fixtures as fx
+
+    return (
+        fx.secretsmanager_secrets(spark, sf_dir)
+        .where("rotation_enabled = 'false'")
+        .select("arn", "account_id")
+    )
+
+
 def _q_kg_two_tag_pods(spark, sf_dir):
     """Two-tag mutation on a provider-sweep module: Kubernetes pods T1/T2
     with removals (o % 10 == 7 drop in t2), label-scoped global cleanup —
@@ -1428,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_azure_public_containers": _q_kg_azure_public_containers,
         "kg_azure_sql_dbs": _q_kg_azure_sql_dbs,
         "kg_two_tag_pods": _q_kg_two_tag_pods,
+        "kg_redshift_sg": _q_kg_redshift_sg,
+        "kg_secrets_unrotated": _q_kg_secrets_unrotated,
         "kg_pagerduty_chain": _q_kg_pagerduty_chain,
         "kg_oci_members": _q_kg_oci_members,
         "kg_host_cves": _q_kg_host_cves,
@@ -1948,6 +1984,26 @@ def oracle_sql() -> dict[str, str]:
                    '.us-east-1.es.example.com+CNAME' AS record_id,
                    'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
             FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+        # Redshift -> EC2 SG membership (sg population is p%10==0, so
+        # sg-{10*((s/21)%200)} joins are existence-gated; sg-0 drops)
+        "kg_redshift_sg": f"""
+            WITH sg AS (SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id
+                        FROM part WHERE p_partkey % 10 = 0),
+            rs AS (
+              SELECT 'arn:aws:redshift:us-east-1:' || {ACCT.format(k='s_nationkey')} ||
+                     ':cluster:redshift-' || CAST(s_suppkey AS VARCHAR) AS cluster_arn,
+                     'sg-' || CAST(10 * (CAST(s_suppkey / 21 AS BIGINT) % 200) AS VARCHAR) AS sg_id
+              FROM supplier WHERE s_suppkey % 21 = 0
+            )
+            SELECT cluster_arn, sg_id FROM rs JOIN sg USING (sg_id)
+        """,
+        # Secrets without rotation
+        "kg_secrets_unrotated": f"""
+            SELECT 'arn:aws:secretsmanager:us-east-1:' || {ACCT.format(k='c_nationkey')} ||
+                   ':secret:sec-' || CAST(c_custkey AS VARCHAR) AS arn,
+                   {ACCT.format(k='c_nationkey')} AS account_id
+            FROM customer WHERE c_custkey % 23 = 0 AND c_custkey % 2 = 1
         """,
         # Two-tag pods: survivors of the t2 removal keep T1 firstseen
         "kg_two_tag_pods": f"""

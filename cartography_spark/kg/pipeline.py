@@ -30,7 +30,10 @@ from cartography_spark.modules.aws_es import sync_elasticsearch
 from cartography_spark.modules.aws_inventory import (
     sync_apigateway,
     sync_dynamodb,
+    sync_elasticache,
     sync_kms,
+    sync_redshift,
+    sync_secretsmanager,
     sync_sqs,
 )
 from cartography_spark.modules.azure import sync_azure, sync_azure_storage_sql
@@ -205,6 +208,10 @@ def run_sync(
         fx.ecs_tasks(spark, sf_dir),
         update_tag,
     )
+    # Redshift joins the EC2 SG space, so it runs after sync_ec2 (above)
+    sync_redshift(store, fx.redshift_clusters(spark, sf_dir), update_tag)
+    sync_elasticache(store, fx.elasticache_clusters(spark, sf_dir), update_tag)
+    sync_secretsmanager(store, fx.secretsmanager_secrets(spark, sf_dir), update_tag)
 
     # GSuite: users, groups, nested memberships
     sync_gsuite(

@@ -185,3 +185,97 @@ def sync_apigateway(
         .unionByName(compile_edges(resources, APIGW_RESOURCE_SCHEMA, live, update_tag))
     )
     store.upsert(nodes, edges, "aws:apigateway", update_tag)
+
+
+# --- Redshift / ElastiCache / Secrets Manager ------------------------------
+
+REDSHIFT_CLUSTER_SCHEMA = NodeSchema(
+    label="RedshiftCluster",
+    id=PropertyRef("arn"),
+    properties={
+        "publicly_accessible": PropertyRef("publicly_accessible"),
+        "encrypted": PropertyRef("encrypted"),
+        "account_id": PropertyRef("account_id"),
+    },
+    sub_resource_rel=account_resource_rel(),
+    other_rels=(
+        # reference redshift.py:99-100 — clusters join the EC2 SG space
+        RelSchema(
+            target_label="EC2SecurityGroup",
+            rel_label="MEMBER_OF_EC2_SECURITY_GROUP",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("sg_id")}),
+        ),
+    ),
+)
+
+ELASTICACHE_CLUSTER_SCHEMA = NodeSchema(
+    label="ElasticacheCluster",
+    id=PropertyRef("arn"),
+    properties={"name": PropertyRef("name"), "account_id": PropertyRef("account_id")},
+    sub_resource_rel=account_resource_rel(),
+)
+
+ELASTICACHE_TOPIC_SCHEMA = NodeSchema(
+    label="ElasticacheTopic",
+    id=PropertyRef("topic_arn"),
+    sub_resource_rel=account_resource_rel(),
+    other_rels=(
+        # reference elasticache.py:73-79 (topic)-[:CACHE_CLUSTER]->(cluster)
+        RelSchema(
+            target_label="ElasticacheCluster",
+            rel_label="CACHE_CLUSTER",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("arn")}),
+        ),
+    ),
+)
+
+SECRET_SCHEMA = NodeSchema(
+    label="SecretsManagerSecret",
+    id=PropertyRef("arn"),
+    properties={
+        "name": PropertyRef("name"),
+        "rotation_enabled": PropertyRef("rotation_enabled"),
+        "account_id": PropertyRef("account_id"),
+    },
+    sub_resource_rel=account_resource_rel(),
+)
+
+
+def sync_redshift(store: GraphStore, clusters: DataFrame, update_tag: int) -> None:
+    if store.stage_done("aws:redshift", update_tag):
+        return
+    store.upsert(
+        compile_nodes(clusters, REDSHIFT_CLUSTER_SCHEMA, update_tag),
+        compile_edges(clusters, REDSHIFT_CLUSTER_SCHEMA, store.nodes(), update_tag),
+        "aws:redshift",
+        update_tag,
+    )
+
+
+def sync_elasticache(store: GraphStore, clusters: DataFrame, update_tag: int) -> None:
+    if store.stage_done("aws:elasticache", update_tag):
+        return
+    topics = clusters.where("topic_arn IS NOT NULL").select(
+        "topic_arn", "arn", "account_id"
+    )
+    nodes = compile_nodes(clusters, ELASTICACHE_CLUSTER_SCHEMA, update_tag).unionByName(
+        compile_nodes(topics, ELASTICACHE_TOPIC_SCHEMA, update_tag)
+    )
+    live = store.nodes().unionByName(nodes)
+    edges = compile_edges(clusters, ELASTICACHE_CLUSTER_SCHEMA, store.nodes(), update_tag).unionByName(
+        compile_edges(topics, ELASTICACHE_TOPIC_SCHEMA, live, update_tag)
+    )
+    store.upsert(nodes, edges, "aws:elasticache", update_tag)
+
+
+def sync_secretsmanager(store: GraphStore, secrets: DataFrame, update_tag: int) -> None:
+    if store.stage_done("aws:secretsmanager", update_tag):
+        return
+    store.upsert(
+        compile_nodes(secrets, SECRET_SCHEMA, update_tag),
+        compile_edges(secrets, SECRET_SCHEMA, store.nodes(), update_tag),
+        "aws:secretsmanager",
+        update_tag,
+    )

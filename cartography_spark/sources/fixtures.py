@@ -1799,3 +1799,78 @@ def oci_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("oci-tenancy-0").alias("tenancy_ocid"),
         F.concat(F.lit("oci-group-"), F.col("c_nationkey").cast("string")).alias("group_ocid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (ninth batch): Redshift, ElastiCache, Secrets Manager
+#
+#   redshift cluster = redshift-{s_suppkey} (s % 21 == 0) in
+#                      ACCT(s_nationkey); publicly_accessible s % 2 == 0,
+#                      encrypted s % 3 == 0; member of EC2 security group
+#                      sg-{10 * ((s/21) % 200)} (existence-gated join into
+#                      the EC2 SG population)
+#   elasticache      = ec-{o_orderkey} (o % 29 == 0); an SNS topic
+#                      topic-ec-{o} when o % 58 == 0 (CACHE_CLUSTER edge)
+#   secret           = sec-{c_custkey} (c % 23 == 0); rotation_enabled
+#                      c % 2 == 0
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def redshift_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redshift clusters (reference intel/aws/redshift.py:40-100).
+    Columns: arn, publicly_accessible, encrypted, account_id, sg_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 21) == 0)
+    sk = F.col("s_suppkey")
+    return s.select(
+        F.concat(
+            F.lit("arn:aws:redshift:us-east-1:"), _acct(F.col("s_nationkey")),
+            F.lit(":cluster:redshift-"), sk.cast("string"),
+        ).alias("arn"),
+        ((sk % 2) == 0).cast("string").alias("publicly_accessible"),
+        ((sk % 3) == 0).cast("string").alias("encrypted"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+        F.concat(F.lit("sg-"), (10 * ((sk / 21).cast("long") % 200)).cast("string")).alias("sg_id"),
+    )
+
+
+@plan_memo
+def elasticache_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ElastiCache clusters + optional notification topics (reference
+    intel/aws/elasticache.py:50-90).  Columns: arn, name, account_id,
+    topic_arn (null unless o % 58 == 0)."""
+    o = read_table(spark, sf_dir, "orders").where((F.col("o_orderkey") % 29) == 0)
+    ok = F.col("o_orderkey")
+    j = (ok / 29).cast("long")
+    return o.select(
+        F.concat(
+            F.lit("arn:aws:elasticache:us-east-1:"), _acct(j % 25),
+            F.lit(":cluster:ec-"), ok.cast("string"),
+        ).alias("arn"),
+        F.concat(F.lit("ec-"), ok.cast("string")).alias("name"),
+        _acct(j % 25).alias("account_id"),
+        F.when(
+            (ok % 58) == 0,
+            F.concat(
+                F.lit("arn:aws:sns:us-east-1:"), _acct(j % 25),
+                F.lit(":topic-ec-"), ok.cast("string"),
+            ),
+        ).alias("topic_arn"),
+    )
+
+
+@plan_memo
+def secretsmanager_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secrets (reference intel/aws/secretsmanager.py:30-55).  Columns:
+    arn, name, rotation_enabled, account_id."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 23) == 0)
+    ck = F.col("c_custkey")
+    return c.select(
+        F.concat(
+            F.lit("arn:aws:secretsmanager:us-east-1:"), _acct(F.col("c_nationkey")),
+            F.lit(":secret:sec-"), ck.cast("string"),
+        ).alias("arn"),
+        F.concat(F.lit("sec-"), ck.cast("string")).alias("name"),
+        ((ck % 2) == 0).cast("string").alias("rotation_enabled"),
+        _acct(F.col("c_nationkey")).alias("account_id"),
+    )

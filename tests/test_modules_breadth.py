@@ -556,3 +556,42 @@ def test_pagerduty_oci_modules(spark, store):
     assert len(comp) == 25
     mem = check_rels(store, "OCIUser", "MEMBER_OCID_GROUP", "OCIGroup")
     assert len(mem) > 0
+
+
+def test_redshift_elasticache_secrets_modules(spark, store):
+    """Redshift SG membership (existence-gated), ElastiCache topics,
+    SecretsManager rotation (reference redshift.py, elasticache.py,
+    secretsmanager.py)."""
+    from cartography_spark.modules.aws_ec2 import sync_ec2
+    from cartography_spark.modules.aws_inventory import (
+        sync_elasticache,
+        sync_redshift,
+        sync_secretsmanager,
+    )
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_ec2(
+        store,
+        fx.ec2_instances(spark, SF),
+        fx.ec2_security_groups(spark, SF),
+        fx.ec2_sg_rules(spark, SF),
+        T1,
+    )
+    sync_redshift(store, fx.redshift_clusters(spark, SF), T1)
+    sync_elasticache(store, fx.elasticache_clusters(spark, SF), T1)
+    sync_secretsmanager(store, fx.secretsmanager_secrets(spark, SF), T1)
+
+    rs_sg = check_rels(store, "RedshiftCluster", "MEMBER_OF_EC2_SECURITY_GROUP", "EC2SecurityGroup")
+    sg_ids = {
+        r[0]
+        for r in store.nodes().where(F.col("label") == "EC2SecurityGroup").select("id").collect()
+    }
+    assert {s for _, s in rs_sg} <= sg_ids
+    topics = check_rels(store, "ElasticacheTopic", "CACHE_CLUSTER", "ElasticacheCluster")
+    clusters = {
+        r[0]
+        for r in store.nodes().where(F.col("label") == "ElasticacheCluster").select("id").collect()
+    }
+    assert len(topics) > 0 and {c for _, c in topics} <= clusters
+    secrets = store.nodes().where(F.col("label") == "SecretsManagerSecret")
+    assert secrets.count() > 0
