@@ -1313,6 +1313,43 @@ def _q_kg_snipeit_checkouts(spark, sf_dir):
     )
 
 
+def _q_kg_ssm_missing_patches(spark, sf_dir):
+    """EC2 instances with missing SSM patches — the patch-posture slice
+    (reference models/aws/ssm/instance_patch.py; HAS_PATCH join against the
+    live instance population)."""
+    from cartography_spark.sources import fixtures as fx
+
+    inst = fx.ec2_instances(spark, sf_dir).select("instance_id")
+    return (
+        fx.ssm_instance_patches(spark, sf_dir)
+        .where("state = 'Missing'")
+        .join(inst, "instance_id")
+        .select("instance_id", "patch_id")
+    )
+
+
+def _q_kg_inspector_affects(spark, sf_dir):
+    """(AWSInspectorFinding)-[:AFFECTS]->(EC2Instance) via the schema
+    compiler — refs outside the live instance population drop (reference
+    models/aws/inspector/findings.py)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_INSTANCE_SCHEMA
+    from cartography_spark.modules.aws_ssm_inspector import INSPECTOR_FINDING_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    inst = compile_nodes(fx.ec2_instances(spark, sf_dir), EC2_INSTANCE_SCHEMA, T1)
+    edges = compile_edges(
+        fx.inspector_findings(spark, sf_dir),
+        INSPECTOR_FINDING_SCHEMA,
+        inst,
+        T1,
+        selected_relationships=["AFFECTS"],
+    )
+    return edges.select(
+        F.col("src_id").alias("finding_id"), F.col("dst_id").alias("instance_id")
+    )
+
+
 def _q_kg_redshift_sg(spark, sf_dir):
     """RedshiftCluster -> EC2SecurityGroup membership via the schema
     compiler (reference redshift.py:99-100); sg refs outside the live SG
@@ -1464,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_tag_pods": _q_kg_two_tag_pods,
         "kg_redshift_sg": _q_kg_redshift_sg,
         "kg_secrets_unrotated": _q_kg_secrets_unrotated,
+        "kg_ssm_missing_patches": _q_kg_ssm_missing_patches,
+        "kg_inspector_affects": _q_kg_inspector_affects,
         "kg_pagerduty_chain": _q_kg_pagerduty_chain,
         "kg_oci_members": _q_kg_oci_members,
         "kg_host_cves": _q_kg_host_cves,
@@ -1984,6 +2023,25 @@ def oracle_sql() -> dict[str, str]:
                    '.us-east-1.es.example.com+CNAME' AS record_id,
                    'es-' || CAST(s_suppkey AS VARCHAR) AS domain_id
             FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+        # SSM: missing patches on live instances (s%6==3 implies s%3==0)
+        "kg_ssm_missing_patches": """
+            SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                   'i-' || CAST(s_suppkey AS VARCHAR) || '/patch/KB' ||
+                   CAST(s_suppkey % 50 AS VARCHAR) AS patch_id
+            FROM supplier WHERE s_suppkey % 6 = 3
+        """,
+        # Inspector findings existence-gated on the instance population
+        "kg_inspector_affects": """
+            WITH inst AS (
+              SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id FROM supplier
+            ),
+            f AS (
+              SELECT 'finding-' || CAST(o_orderkey AS VARCHAR) AS finding_id,
+                     'i-' || CAST(CAST(o_orderkey / 31 AS BIGINT) % 300 AS VARCHAR) AS instance_id
+              FROM orders WHERE o_orderkey % 31 = 0
+            )
+            SELECT finding_id, instance_id FROM f JOIN inst USING (instance_id)
         """,
         # Redshift -> EC2 SG membership (sg population is p%10==0, so
         # sg-{10*((s/21)%200)} joins are existence-gated; sg-0 drops)

@@ -24,6 +24,7 @@ from cartography_spark.modules.aws_lambda import sync_lambda_ecr
 from cartography_spark.modules.aws_rds import sync_rds
 from cartography_spark.modules.aws_route53 import sync_route53
 from cartography_spark.modules.aws_s3 import sync_s3
+from cartography_spark.modules.aws_ssm_inspector import sync_inspector, sync_ssm
 from cartography_spark.modules.kubernetes import sync_kubernetes
 from cartography_spark.modules.aws_ecs import sync_ecs
 from cartography_spark.modules.aws_es import sync_elasticsearch
@@ -210,6 +211,14 @@ def run_sync(
     )
     # Redshift joins the EC2 SG space, so it runs after sync_ec2 (above)
     sync_redshift(store, fx.redshift_clusters(spark, sf_dir), update_tag)
+    # SSM + Inspector attach to the live EC2 instance population
+    sync_ssm(
+        store,
+        fx.ssm_instance_info(spark, sf_dir),
+        fx.ssm_instance_patches(spark, sf_dir),
+        update_tag,
+    )
+    sync_inspector(store, fx.inspector_findings(spark, sf_dir), update_tag)
     sync_elasticache(store, fx.elasticache_clusters(spark, sf_dir), update_tag)
     sync_secretsmanager(store, fx.secretsmanager_secrets(spark, sf_dir), update_tag)
 

@@ -1874,3 +1874,72 @@ def secretsmanager_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ck % 2) == 0).cast("string").alias("rotation_enabled"),
         _acct(F.col("c_nationkey")).alias("account_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth (tenth batch): SSM + Inspector
+#
+#   ssm info       = i-{s_suppkey}/info (s % 4 == 0)
+#   ssm patch      = i-{s_suppkey}/patch/KB{s % 50} (s % 3 == 0);
+#                    state Installed unless s % 6 == 3 (Missing)
+#   inspector      = finding-{o_orderkey} (o % 31 == 0), AFFECTS instance
+#                    i-{(o/31) % 300} (existence-gated — supplier keys are
+#                    contiguous so refs beyond the table or i-0 drop);
+#                    severity by o % 4, cve CVE-2024-{o % 900} (shared CVE
+#                    grammar with the Crowdstrike feed)
+# ---------------------------------------------------------------------------
+
+
+@plan_memo
+def ssm_instance_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSM instance information (reference models/aws/ssm/
+    instance_information.py).  Columns: info_id, instance_id,
+    platform_type, agent_version, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 4) == 0)
+    sk = F.col("s_suppkey")
+    inst = F.concat(F.lit("i-"), sk.cast("string"))
+    return s.select(
+        F.concat(inst, F.lit("/info")).alias("info_id"),
+        inst.alias("instance_id"),
+        F.when((sk % 8) == 0, F.lit("Windows")).otherwise(F.lit("Linux")).alias("platform_type"),
+        F.concat(F.lit("3."), (sk % 5).cast("string"), F.lit(".0")).alias("agent_version"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def ssm_instance_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSM patch state per instance (reference models/aws/ssm/
+    instance_patch.py).  Columns: patch_id, instance_id, title, state,
+    account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 3) == 0)
+    sk = F.col("s_suppkey")
+    inst = F.concat(F.lit("i-"), sk.cast("string"))
+    return s.select(
+        F.concat(inst, F.lit("/patch/KB"), (sk % 50).cast("string")).alias("patch_id"),
+        inst.alias("instance_id"),
+        F.concat(F.lit("KB"), (sk % 50).cast("string")).alias("title"),
+        F.when((sk % 6) == 3, F.lit("Missing")).otherwise(F.lit("Installed")).alias("state"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def inspector_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inspector findings (reference models/aws/inspector/findings.py).
+    Columns: finding_id, instance_ref, severity, ftype, cve_id,
+    account_id."""
+    o = read_table(spark, sf_dir, "orders").where((F.col("o_orderkey") % 31) == 0)
+    ok = F.col("o_orderkey")
+    j = (ok / 31).cast("long")
+    return o.select(
+        F.concat(F.lit("finding-"), ok.cast("string")).alias("finding_id"),
+        F.concat(F.lit("i-"), (j % 300).cast("string")).alias("instance_ref"),
+        F.element_at(
+            F.array(F.lit("LOW"), F.lit("MEDIUM"), F.lit("HIGH"), F.lit("CRITICAL")),
+            (ok % 4 + 1).cast("int"),
+        ).alias("severity"),
+        F.lit("PACKAGE_VULNERABILITY").alias("ftype"),
+        F.concat(F.lit("CVE-2024-"), (ok % 900).cast("string")).alias("cve_id"),
+        _acct(j % 25).alias("account_id"),
+    )

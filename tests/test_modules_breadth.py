@@ -595,3 +595,33 @@ def test_redshift_elasticache_secrets_modules(spark, store):
     assert len(topics) > 0 and {c for _, c in topics} <= clusters
     secrets = store.nodes().where(F.col("label") == "SecretsManagerSecret")
     assert secrets.count() > 0
+
+
+def test_ssm_inspector_modules(spark, store):
+    """SSM info/patches and Inspector findings attach to the live EC2
+    instance graph (reference models/aws/ssm/*, models/aws/inspector/*)."""
+    from cartography_spark.modules.aws_ec2 import sync_ec2
+    from cartography_spark.modules.aws_ssm_inspector import sync_inspector, sync_ssm
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_ec2(
+        store,
+        fx.ec2_instances(spark, SF),
+        fx.ec2_security_groups(spark, SF),
+        fx.ec2_sg_rules(spark, SF),
+        T1,
+    )
+    sync_ssm(
+        store, fx.ssm_instance_info(spark, SF), fx.ssm_instance_patches(spark, SF), T1
+    )
+    sync_inspector(store, fx.inspector_findings(spark, SF), T1)
+
+    inst_ids = {
+        r[0] for r in store.nodes().where(F.col("label") == "EC2Instance").select("id").collect()
+    }
+    info = check_rels(store, "EC2Instance", "HAS_INFORMATION", "SSMInstanceInformation")
+    patch = check_rels(store, "EC2Instance", "HAS_PATCH", "SSMInstancePatch")
+    assert len(info) > 0 and len(patch) > 0
+    assert {i for i, _ in info} <= inst_ids and {i for i, _ in patch} <= inst_ids
+    affects = check_rels(store, "AWSInspectorFinding", "AFFECTS", "EC2Instance")
+    assert len(affects) > 0 and {i for _, i in affects} <= inst_ids
