@@ -339,6 +339,88 @@ def _q_kg_exposure(spark, sf_dir):
     return exposed_instances(spark, sf_dir)
 
 
+def _q_kg_vpc_subnets(spark, sf_dir):
+    """(EC2Subnet)-[:MEMBER_OF_AWS_VPC]->(AWSVpc) via the schema compiler
+    (reference intel/aws/ec2/subnets.py:50-55)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2_network import SUBNET_SCHEMA, VPC_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    vpcs = compile_nodes(fx.ec2_vpcs(spark, sf_dir), VPC_SCHEMA, T1)
+    edges = compile_edges(
+        fx.ec2_subnets(spark, sf_dir),
+        SUBNET_SCHEMA,
+        vpcs,
+        T1,
+        selected_relationships=["MEMBER_OF_AWS_VPC"],
+    )
+    return edges.select(
+        F.col("src_id").alias("subnet_id"), F.col("dst_id").alias("vpc_id")
+    )
+
+
+def _q_kg_eni_exposure(spark, sf_dir):
+    """The NETWORK_INTERFACE*..2 hop of the exposure walk: instances reachable
+    from an open security group through an attached ENI
+    (aws_ec2_asset_exposure.json statement 2)."""
+    from cartography_spark.analysis.exposure import eni_exposed_instances
+
+    return eni_exposed_instances(spark, sf_dir)
+
+
+def _q_kg_elb_exposed(spark, sf_dir):
+    """Internet-facing load balancers whose security group opens the listener
+    port to 0.0.0.0/0 — classic via SOURCE_SECURITY_GROUP (st.4), v2 via
+    MEMBER_OF_EC2_SECURITY_GROUP (st.3; NLBs have no SG and never match)."""
+    from cartography_spark.analysis.exposure import exposed_elbs, exposed_elbv2s
+
+    e1 = exposed_elbs(spark, sf_dir).withColumn("kind", F.lit("elb"))
+    e2 = exposed_elbv2s(spark, sf_dir).withColumn("kind", F.lit("elbv2"))
+    return e1.unionByName(e2).select("lb_id", "kind", "sg_id", "listener_port")
+
+
+def _q_kg_elb_targets(spark, sf_dir):
+    """(LoadBalancer|LoadBalancerV2)-[:EXPOSE]->(EC2Instance) edges through
+    the schema compiler, targets exploded per the reference's per-target
+    UNWIND (load_balancers.py:117-124, load_balancer_v2s.py:157-170)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_INSTANCE_SCHEMA
+    from cartography_spark.modules.aws_elb import (
+        ELB_SCHEMA,
+        ELBV2_SCHEMA,
+        _explode_targets,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    inst_nodes = compile_nodes(fx.ec2_instances(spark, sf_dir), EC2_INSTANCE_SCHEMA, T1)
+    e1 = compile_edges(
+        _explode_targets(fx.elb_load_balancers(spark, sf_dir), "elb_id"),
+        ELB_SCHEMA,
+        inst_nodes,
+        T1,
+        selected_relationships=["EXPOSE"],
+    )
+    e2 = compile_edges(
+        _explode_targets(fx.elbv2_load_balancers(spark, sf_dir), "elbv2_id"),
+        ELBV2_SCHEMA,
+        inst_nodes,
+        T1,
+        selected_relationships=["EXPOSE"],
+    )
+    return e1.unionByName(e2).select(
+        F.col("src_id").alias("lb_id"), F.col("dst_id").alias("instance_id")
+    )
+
+
+def _q_kg_exposure_types(spark, sf_dir):
+    """Per-instance accumulated exposed_internet_type list — the full
+    aws_ec2_asset_exposure dataflow (direct+ENI 'direct', exposed-ELB 'elb',
+    exposed-ELBv2 'elbv2' appends, statements 2+5+6)."""
+    from cartography_spark.analysis.exposure import exposure_types
+
+    return exposure_types(spark, sf_dir)
+
+
 def _q_kg_drift_users(spark, sf_dir):
     from cartography_spark.analysis.drift import detect_drift
     from cartography_spark.sources import fixtures as fx
@@ -1521,6 +1603,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_map": _q_kg_canonical_map,
         "kg_mention_triples": _q_kg_mention_triples,
         "kg_exposure": _q_kg_exposure,
+        "kg_vpc_subnets": _q_kg_vpc_subnets,
+        "kg_eni_exposure": _q_kg_eni_exposure,
+        "kg_elb_exposed": _q_kg_elb_exposed,
+        "kg_elb_targets": _q_kg_elb_targets,
+        "kg_exposure_types": _q_kg_exposure_types,
         "kg_drift_users": _q_kg_drift_users,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -2359,6 +2446,137 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT i.instance_id, i.sg_id, i.listener_port
             FROM inst i JOIN rules r ON i.sg_id = r.sg_id
             WHERE i.listener_port >= r.fromport AND i.listener_port <= r.toport
+        """,
+        "kg_vpc_subnets": """
+            SELECT 'subnet-' || CAST(p_partkey AS VARCHAR) AS subnet_id,
+                   'vpc-' || CAST(CAST(p_partkey / 10 AS BIGINT) % 25 AS VARCHAR) AS vpc_id
+            FROM part WHERE p_partkey % 10 = 0
+        """,
+        "kg_eni_exposure": """
+            WITH rules AS (
+              SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id,
+                     CAST((p_size % 10) * 100 AS BIGINT) AS fromport,
+                     CAST((p_size % 10) * 100 + 399 AS BIGINT) AS toport
+              FROM part WHERE p_partkey % 10 = 0 AND p_partkey % 4 = 0
+            ),
+            enis AS (
+              SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                     'eni-' || CAST(s_suppkey AS VARCHAR) AS eni_id,
+                     'sg-' || CAST(((s_suppkey*20) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*20) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS listener_port
+              FROM supplier WHERE s_suppkey % 2 = 1
+            )
+            SELECT DISTINCT e.instance_id, e.eni_id, e.sg_id, e.listener_port
+            FROM enis e JOIN rules r ON e.sg_id = r.sg_id
+            WHERE e.listener_port >= r.fromport AND e.listener_port <= r.toport
+        """,
+        "kg_elb_exposed": """
+            WITH rules AS (
+              SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id,
+                     CAST((p_size % 10) * 100 AS BIGINT) AS fromport,
+                     CAST((p_size % 10) * 100 + 399 AS BIGINT) AS toport
+              FROM part WHERE p_partkey % 10 = 0 AND p_partkey % 4 = 0
+            ),
+            lbs AS (
+              SELECT 'elb-' || CAST(s_suppkey AS VARCHAR) || '.elb.example.com' AS lb_id,
+                     'elb' AS kind,
+                     'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                     CAST((s_suppkey % 10) * 100 + 25 AS BIGINT) AS listener_port
+              FROM supplier WHERE s_suppkey % 3 = 0 AND s_suppkey % 2 = 0
+              UNION ALL
+              SELECT 'elbv2-' || CAST(s_suppkey AS VARCHAR) || '.elb.example.com',
+                     'elbv2',
+                     'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR),
+                     CAST((s_suppkey % 10) * 100 + 75 AS BIGINT)
+              FROM supplier WHERE s_suppkey % 3 = 1 AND s_suppkey % 2 = 0 AND s_suppkey % 7 <> 0
+            )
+            SELECT DISTINCT l.lb_id, l.kind, l.sg_id, l.listener_port
+            FROM lbs l JOIN rules r ON l.sg_id = r.sg_id
+            WHERE l.listener_port >= r.fromport AND l.listener_port <= r.toport
+        """,
+        "kg_elb_targets": """
+            WITH lbs AS (
+              SELECT 'elb-' || CAST(s_suppkey AS VARCHAR) || '.elb.example.com' AS lb_id,
+                     s_suppkey AS sk
+              FROM supplier WHERE s_suppkey % 3 = 0
+              UNION ALL
+              SELECT 'elbv2-' || CAST(s_suppkey AS VARCHAR) || '.elb.example.com', s_suppkey
+              FROM supplier WHERE s_suppkey % 3 = 1
+            ),
+            t AS (
+              SELECT lb_id, 'i-' || CAST(sk AS VARCHAR) AS instance_id FROM lbs
+              UNION ALL
+              SELECT lb_id,
+                     'i-' || CAST((sk + 1) % (SELECT count(*) FROM supplier) AS VARCHAR)
+              FROM lbs
+            )
+            SELECT DISTINCT lb_id, instance_id FROM t
+        """,
+        "kg_exposure_types": """
+            WITH rules AS (
+              SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id,
+                     CAST((p_size % 10) * 100 AS BIGINT) AS fromport,
+                     CAST((p_size % 10) * 100 + 399 AS BIGINT) AS toport
+              FROM part WHERE p_partkey % 10 = 0 AND p_partkey % 4 = 0
+            ),
+            inst AS (
+              SELECT s_suppkey AS sk, 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                     'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS port
+              FROM supplier
+            ),
+            enis AS (
+              SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                     'sg-' || CAST(((s_suppkey*20) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*20) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS port
+              FROM supplier WHERE s_suppkey % 2 = 1
+            ),
+            expelb AS (
+              SELECT DISTINCT l.sk FROM (
+                SELECT s_suppkey AS sk,
+                       'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                     - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                       CAST((s_suppkey % 10) * 100 + 25 AS BIGINT) AS port
+                FROM supplier WHERE s_suppkey % 3 = 0 AND s_suppkey % 2 = 0
+              ) l JOIN rules r ON l.sg_id = r.sg_id
+              WHERE l.port >= r.fromport AND l.port <= r.toport
+            ),
+            expv2 AS (
+              SELECT DISTINCT l.sk FROM (
+                SELECT s_suppkey AS sk,
+                       'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                     - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                       CAST((s_suppkey % 10) * 100 + 75 AS BIGINT) AS port
+                FROM supplier WHERE s_suppkey % 3 = 1 AND s_suppkey % 2 = 0 AND s_suppkey % 7 <> 0
+              ) l JOIN rules r ON l.sg_id = r.sg_id
+              WHERE l.port >= r.fromport AND l.port <= r.toport
+            ),
+            legs AS (
+              SELECT i.instance_id, 'direct' AS etype
+              FROM inst i JOIN rules r ON i.sg_id = r.sg_id
+              WHERE i.port >= r.fromport AND i.port <= r.toport
+              UNION ALL
+              SELECT e.instance_id, 'direct'
+              FROM enis e JOIN rules r ON e.sg_id = r.sg_id
+              WHERE e.port >= r.fromport AND e.port <= r.toport
+              UNION ALL
+              SELECT 'i-' || CAST(sk AS VARCHAR), 'elb' FROM expelb
+              UNION ALL
+              SELECT 'i-' || CAST((sk + 1) % (SELECT count(*) FROM supplier) AS VARCHAR), 'elb' FROM expelb
+              UNION ALL
+              SELECT 'i-' || CAST(sk AS VARCHAR), 'elbv2' FROM expv2
+              UNION ALL
+              SELECT 'i-' || CAST((sk + 1) % (SELECT count(*) FROM supplier) AS VARCHAR), 'elbv2' FROM expv2
+            )
+            SELECT instance_id,
+                   string_agg(etype, ',' ORDER BY etype) AS exposure_types
+            FROM (SELECT DISTINCT instance_id, etype FROM legs)
+            GROUP BY instance_id
         """,
         "kg_drift_users": f"""
             WITH t1 AS (SELECT {user_arn_c} AS arn, '/' AS path FROM customer c),

@@ -1,22 +1,36 @@
 """Internet-exposure analysis — the multi-hop + range-predicate pass.
 
-Parity: reference data/jobs/analysis/aws_ec2_asset_exposure.json — the
-Cypher walks (:IpRange{0.0.0.0/0})-->(:IpPermissionInbound)-->(sg)<-[*..2]-
-(instance) and gates on the **port interval** ``listener.port >= perm.fromport
-AND listener.port <= perm.toport``, then appends to the
-``exposed_internet_type`` list property.  Here:
+Parity: reference data/jobs/analysis/aws_ec2_asset_exposure.json.  The job's
+statements, in order, and their analog here:
 
-  * the bounded-depth walk unrolls into chained equi-joins;
-  * the interval gate is a non-equi range-join condition — at scale this is
-    the classic range-join problem: we pre-bucket ports into fixed-width
-    bins and equi-join on the bin before applying the exact bounds, turning
-    O(n*m) into bin-local comparisons (AQE handles residual skew).
+  st.2 — (:IpRange{0.0.0.0/0})-->(:IpPermissionInbound)-->(sg)
+         <-[:MEMBER_OF_EC2_SECURITY_GROUP|NETWORK_INTERFACE*..2]-(instance)
+         → ``exposed_instances`` (direct membership) ∪
+           ``eni_exposed_instances`` (the 2-hop ENI leg), both appending
+           'direct' to exposed_internet_type;
+  st.3 — open rule covering an internet-facing LoadBalancerV2's listener
+         port via MEMBER_OF_EC2_SECURITY_GROUP → ``exposed_elbv2s``;
+  st.4 — same for classic LoadBalancer via SOURCE_SECURITY_GROUP
+         → ``exposed_elbs``;
+  st.5/6 — exposed LB -[:EXPOSE]-> instance appends 'elb' / 'elbv2'
+         → the target legs of ``exposure_types``.
+
+The interval gate (listener.port BETWEEN perm.fromport AND perm.toport) is a
+non-equi range join — at scale the classic range-join problem: ports are
+pre-bucketed into fixed-width bins and equi-joined on the bin before the
+exact bounds apply, turning O(n*m) into bin-local comparisons (AQE handles
+residual skew).  List-property accumulation (A4: coalesce(x,[]) + elem)
+becomes a set-valued column rebuilt per run — the set-wise analog of the
+job's clearing statement (st.1 REMOVEs the attribute first).
 
 Fixture derivation (deterministic, oracle-reproducible):
   * security groups from part (p_partkey%10==0): port range
-    [ (p_size%40)*100, (p_size%40)*100+99 ], open to world iff p_partkey%4==0
-  * instances from supplier: member of sg-((s_suppkey*10) % n_sgs_base),
-    listener port (s_suppkey%40)*100 + 50
+    [ (p_size%10)*100, +399 ], open to world iff p_partkey%4==0
+  * instances from supplier: member of sg-((s_suppkey*10) % n_parts rounded
+    down to a multiple of 10), listener port (s_suppkey%10)*100 + 50
+  * ENIs (odd suppliers) attach a SECOND sg: sg-((s_suppkey*20) % n_parts)
+  * classic ELBs (s%3==0, port +25) / ELBv2 (s%3==1, port +75), scheme
+    internet-facing iff s%2==0; NLBs (s%7==0) have no sg
 """
 
 from __future__ import annotations
@@ -45,17 +59,11 @@ def instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def exposed_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Instances whose security group opens their listener port to the world.
-
-    The range join is bin-bucketed: a rule spanning [from, to] explodes to
-    its covered bins; instances join on their port's bin, then the exact
-    interval check applies.  Output: instance_id, sg_id, listener_port.
-    """
+def _open_rules_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0.0.0.0/0 inbound rules exploded to their covered port bins.
+    Columns: sg_id, fromport, toport, port_bin."""
     rules = security_group_rules(spark, sf_dir).where(F.col("cidr") == "0.0.0.0/0")
-    inst = instances(spark, sf_dir)
-
-    binned_rules = rules.select(
+    return rules.select(
         "sg_id",
         "fromport",
         "toport",
@@ -66,56 +74,203 @@ def exposed_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("port_bin"),
     )
-    binned_inst = inst.withColumn("port_bin", (F.col("listener_port") / PORT_BIN).cast("long"))
 
+
+def _covered(assets: DataFrame, rules_binned: DataFrame, port_col: str) -> DataFrame:
+    """Bin-bucketed range semi-join: asset rows whose (sg_id, port) falls in
+    an open rule's [fromport, toport].  Keeps every asset column."""
+    binned = assets.withColumn("port_bin", (F.col(port_col) / PORT_BIN).cast("long"))
     return (
-        binned_inst.join(binned_rules, ["sg_id", "port_bin"], "inner")
-        .where(
-            (F.col("listener_port") >= F.col("fromport"))
-            & (F.col("listener_port") <= F.col("toport"))
-        )
-        .select("instance_id", "sg_id", "listener_port")
+        binned.join(rules_binned, ["sg_id", "port_bin"], "inner")
+        .where((F.col(port_col) >= F.col("fromport")) & (F.col(port_col) <= F.col("toport")))
+        .drop("port_bin", "fromport", "toport")
         .distinct()
     )
 
 
-def mark_exposure(store, spark: SparkSession, sf_dir: str, update_tag: int) -> None:
-    """Append 'direct' to exposed instances' exposed_internet_type — the
-    list-property accumulation (A4: coalesce(x,[]) + elem) on the graph.
+def exposed_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instances whose DIRECT security group opens their listener port to the
+    world (st.2's 1-hop leg).  Output: instance_id, sg_id, listener_port."""
+    return _covered(
+        instances(spark, sf_dir).select("instance_id", "sg_id", "listener_port"),
+        _open_rules_binned(spark, sf_dir),
+        "listener_port",
+    ).select("instance_id", "sg_id", "listener_port")
 
-    Rewrites ONLY the EC2Instance label slice (commit_partial): the analysis
-    attribute is rebuilt for the whole label each run, so instances no longer
-    exposed lose the stale mark — the set-wise analog of the reference job's
-    clearing statements (aws_ec2_asset_exposure.json sets the attribute
-    fresh per run)."""
-    exposed = exposed_instances(spark, sf_dir).select(
-        F.col("instance_id").alias("id")
+
+def eni_exposed_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instances reachable from an open group THROUGH an attached network
+    interface — the ``NETWORK_INTERFACE*..2`` hop of st.2.  The ENI's group
+    is independent of the instance's direct membership, so this leg adds
+    real reach.  Output: instance_id, eni_id, sg_id, listener_port."""
+    from cartography_spark.sources.fixtures import ec2_network_interfaces
+
+    enis = ec2_network_interfaces(spark, sf_dir).select("eni_id", "instance_id", "sg_id")
+    inst = instances(spark, sf_dir).select("instance_id", "listener_port")
+    # ENI->instance is ~1:1 — a plain equi-join; listener_port rides along
+    joined = enis.join(inst, ["instance_id"], "inner")
+    return _covered(joined, _open_rules_binned(spark, sf_dir), "listener_port").select(
+        "instance_id", "eni_id", "sg_id", "listener_port"
     )
-    ec2 = store.nodes(labels=["EC2Instance"])
-    marked = ec2.join(F.broadcast(exposed), ["id"], "left_semi").withColumn(
-        "props",
-        F.map_concat(
-            # strip any prior mark first — map_concat EXCEPTIONs on duplicate
-            # keys under ANSI policy (re-running analysis on an already-marked
-            # node must be idempotent)
-            F.map_filter(
-                F.coalesce("props", F.create_map()),
-                lambda k, _: k != F.lit("exposed_internet_type"),
+
+
+def exposed_elbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic LoadBalancers marked exposed_internet (st.4): scheme
+    'internet-facing' AND the SOURCE_SECURITY_GROUP (matched by sg *name*)
+    has a 0.0.0.0/0 rule covering the listener port.
+    Output: lb_id, sg_id, listener_port."""
+    from cartography_spark.sources.fixtures import ec2_security_groups, elb_load_balancers
+
+    elbs = (
+        elb_load_balancers(spark, sf_dir)
+        .where(F.col("scheme") == "internet-facing")
+        .select(F.col("elb_id").alias("lb_id"), "sg_name", "listener_port")
+    )
+    # name -> sg_id through the SG dimension (broadcast: dimension-sized)
+    sgs = ec2_security_groups(spark, sf_dir).select(
+        F.col("name").alias("sg_name"), "sg_id"
+    )
+    withsg = elbs.join(F.broadcast(sgs), ["sg_name"], "inner").drop("sg_name")
+    return _covered(withsg, _open_rules_binned(spark, sf_dir), "listener_port").select(
+        "lb_id", "sg_id", "listener_port"
+    )
+
+
+def exposed_elbv2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LoadBalancerV2s marked exposed_internet (st.3): internet-facing AND a
+    member security group (NLBs have none) opens the listener port.
+    Output: lb_id, sg_id, listener_port."""
+    from cartography_spark.sources.fixtures import elbv2_load_balancers
+
+    v2 = (
+        elbv2_load_balancers(spark, sf_dir)
+        .where((F.col("scheme") == "internet-facing") & F.col("sg_id").isNotNull())
+        .select(F.col("elbv2_id").alias("lb_id"), "sg_id", "listener_port")
+    )
+    return _covered(v2, _open_rules_binned(spark, sf_dir), "listener_port").select(
+        "lb_id", "sg_id", "listener_port"
+    )
+
+
+def exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instance accumulated exposed_internet_type list (st.2+5+6):
+    'direct' (direct OR ENI reach), 'elb' (targeted by an exposed classic
+    ELB), 'elbv2' (targeted by an exposed v2).  Output: instance_id,
+    exposure_types (comma-joined sorted distinct)."""
+    from cartography_spark.sources.fixtures import elb_load_balancers, elbv2_load_balancers
+
+    direct = (
+        exposed_instances(spark, sf_dir)
+        .select("instance_id")
+        .unionByName(eni_exposed_instances(spark, sf_dir).select("instance_id"))
+        .withColumn("etype", F.lit("direct"))
+    )
+
+    def _targets(lbs: DataFrame, id_col: str) -> DataFrame:
+        return lbs.select(
+            F.col(id_col).alias("lb_id"),
+            F.explode(F.array("target_instance_1", "target_instance_2")).alias(
+                "instance_id"
             ),
-            F.create_map(F.lit("exposed_internet_type"), F.lit('["direct"]')),
-        ),
+        )
+
+    elb_leg = (
+        _targets(elb_load_balancers(spark, sf_dir), "elb_id")
+        .join(
+            F.broadcast(exposed_elbs(spark, sf_dir).select("lb_id")),
+            ["lb_id"],
+            "left_semi",
+        )
+        .select("instance_id")
+        .withColumn("etype", F.lit("elb"))
     )
-    rest = ec2.join(F.broadcast(exposed), ["id"], "left_anti").withColumn(
+    elbv2_leg = (
+        _targets(elbv2_load_balancers(spark, sf_dir), "elbv2_id")
+        .join(
+            F.broadcast(exposed_elbv2s(spark, sf_dir).select("lb_id")),
+            ["lb_id"],
+            "left_semi",
+        )
+        .select("instance_id")
+        .withColumn("etype", F.lit("elbv2"))
+    )
+
+    return (
+        direct.unionByName(elb_leg)
+        .unionByName(elbv2_leg)
+        .groupBy("instance_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("etype")), ",").alias(
+                "exposure_types"
+            )
+        )
+    )
+
+
+def _set_type_list(nodes: DataFrame, marks: DataFrame) -> DataFrame:
+    """Rebuild exposed_internet / exposed_internet_type on a label slice from
+    a (id, exposure_types) mark set.  Unmarked nodes lose any stale mark —
+    the set-wise analog of the reference job's clearing statement (st.1)."""
+    marked = (
+        nodes.join(F.broadcast(marks), ["id"], "inner")
+        .withColumn(
+            "props",
+            F.map_concat(
+                # strip prior marks first — map_concat EXCEPTIONs on duplicate
+                # keys under ANSI policy (idempotent re-runs)
+                F.map_filter(
+                    F.coalesce("props", F.create_map()),
+                    lambda k, _: ~k.isin("exposed_internet", "exposed_internet_type"),
+                ),
+                F.create_map(
+                    F.lit("exposed_internet"),
+                    F.lit("true"),
+                    F.lit("exposed_internet_type"),
+                    F.to_json(F.split("exposure_types", ",")),
+                ),
+            ),
+        )
+        .drop("exposure_types")
+    )
+    rest = nodes.join(F.broadcast(marks), ["id"], "left_anti").withColumn(
         "props",
         F.when(
             F.col("props").isNotNull(),
-            F.map_filter(F.col("props"), lambda k, _: k != F.lit("exposed_internet_type")),
+            F.map_filter(
+                F.col("props"),
+                lambda k, _: ~k.isin("exposed_internet", "exposed_internet_type"),
+            ),
         ),
     )
+    return rest.unionByName(marked)
+
+
+def mark_exposure(store, spark: SparkSession, sf_dir: str, update_tag: int) -> None:
+    """Write the accumulated exposure marks onto EC2Instance, LoadBalancer
+    and LoadBalancerV2 label slices (commit_partial rewrites ONLY those
+    slices).  Instances get the full type list; load balancers get
+    exposed_internet=true (st.3/4 set only the boolean on LBs)."""
+    inst_marks = exposure_types(spark, sf_dir).select(
+        F.col("instance_id").alias("id"), "exposure_types"
+    )
+    elb_marks = exposed_elbs(spark, sf_dir).select(
+        F.col("lb_id").alias("id"), F.lit("elb").alias("exposure_types")
+    )
+    elbv2_marks = exposed_elbv2s(spark, sf_dir).select(
+        F.col("lb_id").alias("id"), F.lit("elbv2").alias("exposure_types")
+    )
+
+    out = _set_type_list(
+        store.nodes(labels=["EC2Instance"]), inst_marks
+    ).unionByName(
+        _set_type_list(store.nodes(labels=["LoadBalancer"]), elb_marks)
+    ).unionByName(
+        _set_type_list(store.nodes(labels=["LoadBalancerV2"]), elbv2_marks)
+    )
     store.commit_partial(
-        rest.unionByName(marked),
+        out,
         None,
-        ["EC2Instance"],
+        ["EC2Instance", "LoadBalancer", "LoadBalancerV2"],
         [],
         "analysis:aws_asset_exposure",
         update_tag,

@@ -75,6 +75,11 @@ class GraphStore:
     every live label to its current slice.
     """
 
+    # Stale-id sets up to this many rows broadcast into delete's incident-edge
+    # joins (~10M ids ≈ a few hundred MB serialized — the conventional
+    # broadcast ceiling); larger sets fall back to AQE-chosen strategies.
+    BROADCAST_DELETE_MAX_IDS = 10_000_000
+
     def __init__(self, spark: SparkSession, root: str, write_partitions: int | None = None):
         self.spark = spark
         self.root = root
@@ -547,16 +552,27 @@ class GraphStore:
             )
             sid = sn.select("id").distinct().cache()
             cached.append(sid)
+            # Broadcast the stale-id set ONLY when it is actually small
+            # (incremental staleness: thousands of ids).  A mass offboarding
+            # (a tenant's 10^8 nodes leaving at once) would otherwise ship
+            # gigabytes to every executor — above the threshold the hint is
+            # dropped and AQE picks the strategy (shuffled hash join /
+            # its own broadcast if the post-cache stats allow).  The count
+            # is one cheap job over the already-cached distinct set.
+            if sid.count() <= self.BROADCAST_DELETE_MAX_IDS:
+                sid_hint = F.broadcast
+            else:
+                sid_hint = lambda df: df  # noqa: E731 — identity, AQE decides
             incident = (
                 self.edges()
                 .select("src_id", "dst_id", "rel_label")
-                .join(F.broadcast(sid.withColumnRenamed("id", "src_id")), ["src_id"], "left_semi")
+                .join(sid_hint(sid.withColumnRenamed("id", "src_id")), ["src_id"], "left_semi")
                 .select("rel_label")
                 .unionByName(
                     self.edges()
                     .select("src_id", "dst_id", "rel_label")
                     .join(
-                        F.broadcast(sid.withColumnRenamed("id", "dst_id")),
+                        sid_hint(sid.withColumnRenamed("id", "dst_id")),
                         ["dst_id"],
                         "left_semi",
                     )
@@ -576,9 +592,9 @@ class GraphStore:
             edges_out = self.edges(rel_labels=sorted(touched_rels))
             if sid is not None:
                 edges_out = edges_out.join(
-                    F.broadcast(sid.withColumnRenamed("id", "src_id")), ["src_id"], "left_anti"
+                    sid_hint(sid.withColumnRenamed("id", "src_id")), ["src_id"], "left_anti"
                 ).join(
-                    F.broadcast(sid.withColumnRenamed("id", "dst_id")), ["dst_id"], "left_anti"
+                    sid_hint(sid.withColumnRenamed("id", "dst_id")), ["dst_id"], "left_anti"
                 )
             if stale_edges is not None:
                 edges_out = edges_out.join(se, EDGE_KEY, "left_anti")

@@ -18,6 +18,8 @@ from cartography_spark.kg.materialize import sync_documents
 from cartography_spark.modules import aws_iam, aws_tags, okta, permissions
 from cartography_spark.modules.aws_base import sync_accounts
 from cartography_spark.modules.aws_ec2 import sync_ec2, sync_keypairs
+from cartography_spark.modules.aws_ec2_network import sync_ec2_network
+from cartography_spark.modules.aws_elb import sync_elb
 from cartography_spark.modules.aws_eks import sync_eks
 from cartography_spark.modules.aws_emr import sync_emr
 from cartography_spark.modules.aws_lambda import sync_lambda_ecr
@@ -123,6 +125,23 @@ def run_sync(
         update_tag,
     )
     sync_keypairs(store, fx.ec2_keypairs(spark, sf_dir, variant), update_tag)
+
+    # EC2 network family (VPC -> subnet -> ENI) then load balancers — both
+    # attach to the SG/instance space loaded above; ELBs additionally attach
+    # to subnets, and their EXPOSE targets feed the 'elb'/'elbv2' exposure legs
+    sync_ec2_network(
+        store,
+        fx.ec2_vpcs(spark, sf_dir),
+        fx.ec2_subnets(spark, sf_dir),
+        fx.ec2_network_interfaces(spark, sf_dir),
+        update_tag,
+    )
+    sync_elb(
+        store,
+        fx.elb_load_balancers(spark, sf_dir),
+        fx.elbv2_load_balancers(spark, sf_dir),
+        update_tag,
+    )
 
     # Lambda + ECR (the aws_lambda_ecr analysis joins them) and EKS (the
     # eks exposure analysis marks them)

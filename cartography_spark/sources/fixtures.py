@@ -1943,3 +1943,123 @@ def inspector_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("CVE-2024-"), (ok % 900).cast("string")).alias("cve_id"),
         _acct(j % 25).alias("account_id"),
     )
+
+
+# --- EC2 network family + load balancers (round 3) ---------------------------
+
+
+@plan_memo
+def ec2_vpcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWSVpc per nation (reference intel/aws/ec2/vpc.py:100-130 MERGEs
+    AWSVpc{id: vpcid} under the account RESOURCE edge).
+    Columns: vpc_id, primary_cidr, account_id."""
+    n = read_table(spark, sf_dir, "nation")
+    return n.select(
+        F.concat(F.lit("vpc-"), F.col("n_nationkey").cast("string")).alias("vpc_id"),
+        F.concat(
+            F.lit("10."), F.col("n_nationkey").cast("string"), F.lit(".0.0/16")
+        ).alias("primary_cidr"),
+        _acct(F.col("n_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def ec2_subnets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EC2Subnet per security-group key (same part-derived population, so
+    subnet ids line up with the sg/instance key space).  Reference
+    intel/aws/ec2/subnets.py:30-60 (EC2Subnet{subnetid} -[:MEMBER_OF_AWS_VPC]->
+    AWSVpc).  Columns: subnet_id, vpc_id, account_id."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 10) == 0)
+    acct_key = (F.col("p_partkey") / 10).cast("long") % 25
+    return p.select(
+        F.concat(F.lit("subnet-"), F.col("p_partkey").cast("string")).alias("subnet_id"),
+        F.concat(F.lit("vpc-"), acct_key.cast("string")).alias("vpc_id"),
+        _acct(acct_key).alias("account_id"),
+    )
+
+
+@plan_memo
+def ec2_network_interfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetworkInterface for odd instances — a *secondary* ENI whose security
+    group differs from the instance's direct membership, so the ENI-hop leg
+    of the exposure walk (MEMBER_OF_EC2_SECURITY_GROUP|NETWORK_INTERFACE*..2)
+    adds real reach.  Reference models/aws/ec2/networkinterface_instance.py
+    (instance -[:NETWORK_INTERFACE]-> eni -[:MEMBER_OF_EC2_SECURITY_GROUP]->
+    sg, eni -[:PART_OF_SUBNET]-> subnet).
+    Columns: eni_id, instance_id, sg_id, subnet_id, private_ip, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 2) == 1)
+    n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
+    s = s.crossJoin(F.broadcast(n_parts))
+    sk = F.col("s_suppkey")
+    sg2 = (sk * 20) % F.col("n_part")
+    sub = (sk * 10) % F.col("n_part")
+    return s.select(
+        F.concat(F.lit("eni-"), sk.cast("string")).alias("eni_id"),
+        F.concat(F.lit("i-"), sk.cast("string")).alias("instance_id"),
+        F.concat(F.lit("sg-"), (sg2 - (sg2 % 10)).cast("string")).alias("sg_id"),
+        F.concat(F.lit("subnet-"), (sub - (sub % 10)).cast("string")).alias("subnet_id"),
+        F.concat(
+            F.lit("10.0."), (sk % 250).cast("string"), F.lit("."), (sk % 200).cast("string")
+        ).alias("private_ip"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def elb_load_balancers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ELBs (reference intel/aws/ec2/load_balancers.py:80-160):
+    LoadBalancer{id: dnsname} with a SOURCE_SECURITY_GROUP edge matched by
+    the security group's *name* (the reference matches name, not groupid),
+    one listener, and two EXPOSE target instances.
+    Columns: elb_id, name, scheme, sg_name, subnet_id, listener_port,
+    listener_protocol, target_instance_1, target_instance_2, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 3) == 0)
+    n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
+    n_supp = read_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n_supp"))
+    s = s.crossJoin(F.broadcast(n_parts)).crossJoin(F.broadcast(n_supp))
+    sk = F.col("s_suppkey")
+    sgk = (sk * 10) % F.col("n_part")
+    return s.select(
+        F.concat(F.lit("elb-"), sk.cast("string"), F.lit(".elb.example.com")).alias("elb_id"),
+        F.concat(F.lit("elb-"), sk.cast("string")).alias("name"),
+        F.when((sk % 2) == 0, F.lit("internet-facing")).otherwise(F.lit("internal")).alias("scheme"),
+        F.concat(F.lit("secgroup-"), (sgk - (sgk % 10)).cast("string")).alias("sg_name"),
+        F.concat(F.lit("subnet-"), (sgk - (sgk % 10)).cast("string")).alias("subnet_id"),
+        ((sk % 10) * 100 + 25).cast("long").alias("listener_port"),
+        F.lit("HTTP").alias("listener_protocol"),
+        F.concat(F.lit("i-"), sk.cast("string")).alias("target_instance_1"),
+        F.concat(F.lit("i-"), ((sk + 1) % F.col("n_supp")).cast("string")).alias("target_instance_2"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def elbv2_load_balancers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELBv2 (reference intel/aws/ec2/load_balancer_v2s.py:62-170):
+    LoadBalancerV2{id: dnsname} with type application|network; NLBs carry no
+    security group (the reference checks 'SecurityGroups' in lb first);
+    MEMBER_OF_EC2_SECURITY_GROUP matched by groupid; one listener; two EXPOSE
+    targets via target groups.
+    Columns: elbv2_id, name, scheme, lb_type, sg_id (null for NLB),
+    subnet_id, listener_port, listener_protocol, target_instance_1,
+    target_instance_2, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 3) == 1)
+    n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
+    n_supp = read_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n_supp"))
+    s = s.crossJoin(F.broadcast(n_parts)).crossJoin(F.broadcast(n_supp))
+    sk = F.col("s_suppkey")
+    sgk = (sk * 10) % F.col("n_part")
+    is_nlb = (sk % 7) == 0
+    return s.select(
+        F.concat(F.lit("elbv2-"), sk.cast("string"), F.lit(".elb.example.com")).alias("elbv2_id"),
+        F.concat(F.lit("elbv2-"), sk.cast("string")).alias("name"),
+        F.when((sk % 2) == 0, F.lit("internet-facing")).otherwise(F.lit("internal")).alias("scheme"),
+        F.when(is_nlb, F.lit("network")).otherwise(F.lit("application")).alias("lb_type"),
+        F.when(~is_nlb, F.concat(F.lit("sg-"), (sgk - (sgk % 10)).cast("string"))).alias("sg_id"),
+        F.concat(F.lit("subnet-"), (sgk - (sgk % 10)).cast("string")).alias("subnet_id"),
+        ((sk % 10) * 100 + 75).cast("long").alias("listener_port"),
+        F.lit("HTTPS").alias("listener_protocol"),
+        F.concat(F.lit("i-"), sk.cast("string")).alias("target_instance_1"),
+        F.concat(F.lit("i-"), ((sk + 1) % F.col("n_supp")).cast("string")).alias("target_instance_2"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )

@@ -47,7 +47,14 @@ def test_mark_exposure_list_property(spark, store):
     store.commit(nodes, empty_edges(spark), "seed", T1)
     mark_exposure(store, spark, SF_DIR, T1)
     row = store.nodes().where(F.col("id") == inst[0].instance_id).collect()[0]
-    assert row.props["exposed_internet_type"] == '["direct"]'
+    import json
+
+    types = json.loads(row.props["exposed_internet_type"])
+    # a directly-exposed instance may ALSO be an exposed LB's target — the
+    # accumulated list holds every applicable leg (st.2+5+6), sorted
+    assert "direct" in types
+    assert types == sorted(set(types))
+    assert row.props["exposed_internet"] == "true"
 
 
 def test_drift_states_roundtrip(spark, tmp_path):

@@ -625,3 +625,139 @@ def test_ssm_inspector_modules(spark, store):
     assert {i for i, _ in info} <= inst_ids and {i for i, _ in patch} <= inst_ids
     affects = check_rels(store, "AWSInspectorFinding", "AFFECTS", "EC2Instance")
     assert len(affects) > 0 and {i for _, i in affects} <= inst_ids
+
+
+def test_ec2_network_and_elb_graph_shape(spark, store):
+    """Round-3 EC2 network family + load balancers: VPC/subnet/ENI and
+    LoadBalancer/LoadBalancerV2/listener families with their edges
+    (reference intel/aws/ec2/{vpc,subnets,network_interfaces,
+    load_balancers,load_balancer_v2s}.py)."""
+    from cartography_spark.modules.aws_ec2 import sync_ec2
+    from cartography_spark.modules.aws_ec2_network import sync_ec2_network
+    from cartography_spark.modules.aws_elb import sync_elb
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_ec2(
+        store,
+        fx.ec2_instances(spark, SF),
+        fx.ec2_security_groups(spark, SF),
+        fx.ec2_sg_rules(spark, SF),
+        T1,
+    )
+    sync_ec2_network(
+        store,
+        fx.ec2_vpcs(spark, SF),
+        fx.ec2_subnets(spark, SF),
+        fx.ec2_network_interfaces(spark, SF),
+        T1,
+    )
+    sync_elb(
+        store,
+        fx.elb_load_balancers(spark, SF),
+        fx.elbv2_load_balancers(spark, SF),
+        T1,
+    )
+    labels = {r[0] for r in store.nodes().select("label").distinct().collect()}
+    assert {
+        "AWSVpc", "EC2Subnet", "NetworkInterface",
+        "LoadBalancer", "LoadBalancerV2", "ELBListener", "ELBV2Listener",
+    } <= labels
+
+    # subnet -> vpc
+    assert len(check_rels(store, "EC2Subnet", "MEMBER_OF_AWS_VPC", "AWSVpc")) > 0
+    # instance -> eni (INWARD decl on the ENI schema)
+    assert len(check_rels(store, "EC2Instance", "NETWORK_INTERFACE", "NetworkInterface")) > 0
+    assert len(check_rels(store, "NetworkInterface", "PART_OF_SUBNET", "EC2Subnet")) > 0
+    assert len(check_rels(store, "NetworkInterface", "MEMBER_OF_EC2_SECURITY_GROUP", "EC2SecurityGroup")) > 0
+    # classic ELB matches its source group by NAME
+    src = check_rels(store, "LoadBalancer", "SOURCE_SECURITY_GROUP", "EC2SecurityGroup")
+    assert len(src) > 0
+    # v2 by groupid; NLBs (no sg) must NOT produce membership edges
+    v2sg = check_rels(store, "LoadBalancerV2", "MEMBER_OF_EC2_SECURITY_GROUP", "EC2SecurityGroup")
+    assert len(v2sg) > 0
+    nlb_ids = {
+        r[0]
+        for r in fx.elbv2_load_balancers(spark, SF)
+        .where(F.col("sg_id").isNull())
+        .select("elbv2_id")
+        .collect()
+    }
+    assert nlb_ids and not ({e[0] for e in v2sg} & nlb_ids)
+    # listeners hang off their LB
+    assert len(check_rels(store, "LoadBalancer", "ELB_LISTENER", "ELBListener")) > 0
+    assert len(check_rels(store, "LoadBalancerV2", "ELBV2_LISTENER", "ELBV2Listener")) > 0
+    # EXPOSE targets: two per LB, all resolving to live instances
+    expose = check_rels(store, "LoadBalancer", "EXPOSE", "EC2Instance")
+    assert len(expose) > 0
+    inst_ids = {
+        r[0]
+        for r in store.nodes().where(F.col("label") == "EC2Instance").select("id").collect()
+    }
+    assert {e[1] for e in expose} <= inst_ids
+
+
+def test_exposure_elb_legs_match_naive(spark):
+    """The binned ELB exposure legs must equal naive theta-joins, and the
+    accumulated type list must contain each leg exactly where expected."""
+    from cartography_spark.analysis.exposure import (
+        eni_exposed_instances,
+        exposed_elbs,
+        exposed_elbv2s,
+        exposure_types,
+    )
+
+    rules = (
+        fx.ec2_sg_rules(spark, SF)
+        .where(F.col("cidr") == "0.0.0.0/0")
+        .select("sg_id", "fromport", "toport")
+    )
+
+    # classic: name->sg_id mapping is secgroup-K -> sg-K
+    elbs = fx.elb_load_balancers(spark, SF).where(F.col("scheme") == "internet-facing")
+    naive_elb = (
+        elbs.withColumn("sg_id", F.regexp_replace("sg_name", "^secgroup-", "sg-"))
+        .join(fx.ec2_security_groups(spark, SF).select("sg_id"), "sg_id")
+        .join(rules, "sg_id")
+        .where(
+            (F.col("listener_port") >= F.col("fromport"))
+            & (F.col("listener_port") <= F.col("toport"))
+        )
+        .select(F.col("elb_id").alias("lb_id"), "sg_id", "listener_port")
+        .distinct()
+    )
+    got_elb = exposed_elbs(spark, SF)
+    assert got_elb.exceptAll(naive_elb).count() == 0
+    assert naive_elb.exceptAll(got_elb).count() == 0
+    assert got_elb.count() > 0
+
+    # v2: NLBs excluded by construction
+    v2 = fx.elbv2_load_balancers(spark, SF)
+    naive_v2 = (
+        v2.where((F.col("scheme") == "internet-facing") & F.col("sg_id").isNotNull())
+        .join(rules, "sg_id")
+        .where(
+            (F.col("listener_port") >= F.col("fromport"))
+            & (F.col("listener_port") <= F.col("toport"))
+        )
+        .select(F.col("elbv2_id").alias("lb_id"), "sg_id", "listener_port")
+        .distinct()
+    )
+    got_v2 = exposed_elbv2s(spark, SF)
+    assert got_v2.exceptAll(naive_v2).count() == 0
+    assert naive_v2.exceptAll(got_v2).count() == 0
+
+    # ENI leg non-vacuous and disjoint sg space from the direct leg
+    eni = eni_exposed_instances(spark, SF)
+    assert eni.count() > 0
+
+    # every exposed-LB target instance carries the matching list entry
+    types = {r.instance_id: r.exposure_types.split(",") for r in exposure_types(spark, SF).collect()}
+    elb_targets = (
+        fx.elb_load_balancers(spark, SF)
+        .join(got_elb.select(F.col("lb_id").alias("elb_id")), "elb_id", "left_semi")
+        .select(F.explode(F.array("target_instance_1", "target_instance_2")).alias("i"))
+        .collect()
+    )
+    assert elb_targets
+    for r in elb_targets:
+        assert "elb" in types[r.i]
