@@ -421,6 +421,118 @@ def _q_kg_exposure_types(spark, sf_dir):
     return exposure_types(spark, sf_dir)
 
 
+def _q_kg_okta_apps(spark, sf_dir):
+    """(OktaGroup)-[:APPLICATION]->(OktaApplication) assignments through the
+    schema compiler (reference okta/applications.py:336-342)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.okta import APPLICATION_SCHEMA, GROUP_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    groups = compile_nodes(fx.okta_groups(spark, sf_dir), GROUP_SCHEMA, T1)
+    edges = compile_edges(
+        fx.okta_applications(spark, sf_dir),
+        APPLICATION_SCHEMA,
+        groups,
+        T1,
+        selected_relationships=["APPLICATION"],
+    )
+    return edges.select(
+        F.col("src_id").alias("group_id"), F.col("dst_id").alias("app_id")
+    )
+
+
+def _q_kg_okta_factors(spark, sf_dir):
+    """(OktaUser)-[:FACTOR]->(OktaUserFactor) with the factor type
+    (reference okta/factors.py:107-121)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.okta import FACTOR_SCHEMA, USER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    users = compile_nodes(fx.okta_users(spark, sf_dir), USER_SCHEMA, T1)
+    factors = fx.okta_factors(spark, sf_dir)
+    edges = compile_edges(factors, FACTOR_SCHEMA, users, T1, selected_relationships=["FACTOR"])
+    return edges.select(
+        F.col("src_id").alias("user_id"), F.col("dst_id").alias("factor_id")
+    ).join(
+        factors.select(F.col("factor_id"), "factor_type"), ["factor_id"], "inner"
+    ).select("user_id", "factor_id", "factor_type")
+
+
+def _q_kg_okta_admin_roles(spark, sf_dir):
+    """(OktaUser)-[:MEMBER_OF_OKTA_ROLE]->(OktaAdministrationRole) — the
+    shared-role-node grammar (reference okta/roles.py:99-141)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.okta import ADMIN_ROLE_SCHEMA, USER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    users = compile_nodes(fx.okta_users(spark, sf_dir), USER_SCHEMA, T1)
+    edges = compile_edges(
+        fx.okta_admin_roles(spark, sf_dir),
+        ADMIN_ROLE_SCHEMA,
+        users,
+        T1,
+        selected_relationships=["MEMBER_OF_OKTA_ROLE"],
+    )
+    return edges.select(
+        F.col("src_id").alias("user_id"), F.col("dst_id").alias("role_type")
+    )
+
+
+def _q_kg_github_teams(spark, sf_dir):
+    """GitHubTeam per-permission repo grants — the three conditional rel
+    families flattened to (team, repo, permission) rows (reference
+    models/github/teams.py ADMIN/WRITE/READ MatchLinks)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.github import REPO_SCHEMA, TEAM_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    repos = compile_nodes(fx.github_repos(spark, sf_dir), REPO_SCHEMA, T1)
+    edges = compile_edges(
+        fx.github_teams(spark, sf_dir),
+        TEAM_SCHEMA,
+        repos,
+        T1,
+        selected_relationships=["ADMIN", "WRITE", "READ"],
+    )
+    return edges.select(
+        F.col("src_id").alias("team_id"),
+        F.col("dst_id").alias("repo_url"),
+        F.col("rel_label").alias("permission"),
+    )
+
+
+def _q_kg_gcp_buckets(spark, sf_dir):
+    """(GCPProject)-[:RESOURCE]->(GCPBucket) (reference gcp/storage.py)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.gcp import BUCKET_SCHEMA, GCP_PROJECT_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    projects = compile_nodes(fx.gcp_projects(spark, sf_dir), GCP_PROJECT_SCHEMA, T1)
+    edges = compile_edges(fx.gcp_buckets(spark, sf_dir), BUCKET_SCHEMA, projects, T1)
+    return edges.select(
+        F.col("src_id").alias("project_id"), F.col("dst_id").alias("bucket_id")
+    )
+
+
+def _q_kg_gcp_dns_xprovider(spark, sf_dir):
+    """Cross-provider DNS: GCPRecordSet CNAME values resolved against the
+    AWS Route53 record name space (analysis/jobs.py gcp_aws_dns_links
+    dataflow — the name equi-join both providers' loaders enable)."""
+    from cartography_spark.sources import fixtures as fx
+
+    gcp = (
+        fx.gcp_dns_records(spark, sf_dir)
+        .where(F.col("rtype") == "CNAME")
+        .select(F.col("record_id").alias("gcp_record_id"), F.col("value").alias("name"))
+    )
+    aws = (
+        fx.dns_records(spark, sf_dir)
+        .where(F.col("type") == "A")
+        .select(F.col("record_id").alias("aws_record_id"), "name")
+    )
+    return gcp.join(aws, "name").select("gcp_record_id", "aws_record_id")
+
+
 def _q_kg_drift_users(spark, sf_dir):
     from cartography_spark.analysis.drift import detect_drift
     from cartography_spark.sources import fixtures as fx
@@ -1539,18 +1651,57 @@ def _q_kg_oci_members(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "kg_accounts": _q_kg_accounts,
+        "kg_lastpass_identity": _q_kg_lastpass_identity,
+        "kg_semgrep_repo_cves": _q_kg_semgrep_repo_cves,
+        "kg_snipeit_checkouts": _q_kg_snipeit_checkouts,
+        "kg_sqs_dlq": _q_kg_sqs_dlq,
+        "kg_kms_aliases": _q_kg_kms_aliases,
+        "kg_apigw_chain": _q_kg_apigw_chain,
+        "kg_ecs_services": _q_kg_ecs_services,
+        "kg_ecs_task_images": _q_kg_ecs_task_images,
+        "kg_vpc_subnets": _q_kg_vpc_subnets,
+        "kg_eni_exposure": _q_kg_eni_exposure,
+        "kg_elb_exposed": _q_kg_elb_exposed,
+        "kg_elb_targets": _q_kg_elb_targets,
+        "kg_exposure_types": _q_kg_exposure_types,
+        "kg_okta_apps": _q_kg_okta_apps,
+        "kg_okta_factors": _q_kg_okta_factors,
+        "kg_okta_admin_roles": _q_kg_okta_admin_roles,
+        "kg_github_teams": _q_kg_github_teams,
+        "kg_gcp_buckets": _q_kg_gcp_buckets,
+        "kg_gcp_dns_xprovider": _q_kg_gcp_dns_xprovider,
+        "dedup_embedding": _q_dedup_embedding,
+        "events_sessions_stateful": _q_events_sessions_stateful,
+        "kg_exposure": _q_kg_exposure,
+        "kg_gsuite_effective": _q_kg_gsuite_effective,
+        "kg_permission_can_read": _q_kg_permission_can_read,
+        "kg_permission_can_list": _q_kg_permission_can_list,
+        "kg_two_tag_users": _q_kg_two_tag_users,
+        "kg_two_tag_roles": _q_kg_two_tag_roles,
+        "kg_two_tag_clusters": _q_kg_two_tag_clusters,
+        "kg_two_tag_pods": _q_kg_two_tag_pods,
+        "kg_orphan_principals": _q_kg_orphan_principals,
+        "kg_drift_users": _q_kg_drift_users,
+        "kg_sts_assumerole": _q_kg_sts_assumerole,
+        "kg_can_assume_role": _q_kg_can_assume_role,
+        "kg_saml_allowed_by": _q_kg_saml_allowed_by,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix": _q_dedup_prefix,
+        "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_topk_arrow": _q_sim_topk_arrow,
+        "sim_ann_lsh": _q_sim_ann_lsh,
+        "kg_mention_triples": _q_kg_mention_triples,
+        "kg_canonical_map": _q_kg_canonical_map,
         "kg_resource_edges": _q_kg_resource_edges,
         "kg_member_edges": _q_kg_member_edges,
         "kg_trust_edges": _q_kg_trust_edges,
+        "kg_accounts": _q_kg_accounts,
+        "events_sessions": _q_events_sessions,
+        "text_quality": _q_text_quality,
         "kg_tagged_edges": _q_kg_tagged_edges,
-        "kg_saml_allowed_by": _q_kg_saml_allowed_by,
-        "kg_can_assume_role": _q_kg_can_assume_role,
-        "kg_permission_can_read": _q_kg_permission_can_read,
-        "kg_sts_assumerole": _q_kg_sts_assumerole,
-        "kg_two_tag_users": _q_kg_two_tag_users,
-        "kg_two_tag_roles": _q_kg_two_tag_roles,
-        "kg_orphan_principals": _q_kg_orphan_principals,
         "kg_ec2_sg_members": _q_kg_ec2_sg_members,
         "kg_ec2_rule_ranges": _q_kg_ec2_rule_ranges,
         "kg_ec2_assumerole": _q_kg_ec2_assumerole,
@@ -1565,8 +1716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_human_okta": _q_kg_human_okta,
         "kg_gcp_instances": _q_kg_gcp_instances,
         "kg_azure_vms": _q_kg_azure_vms,
-        "kg_two_tag_clusters": _q_kg_two_tag_clusters,
-        "kg_permission_can_list": _q_kg_permission_can_list,
         "kg_dns_records": _q_kg_dns_records,
         "kg_dns_cname_resolved": _q_kg_dns_cname_resolved,
         "kg_dns_subzones": _q_kg_dns_subzones,
@@ -1575,12 +1724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_k8s_ecr_images": _q_kg_k8s_ecr_images,
         "kg_rds_exposed": _q_kg_rds_exposed,
         "kg_gsuite_members": _q_kg_gsuite_members,
-        "kg_gsuite_effective": _q_kg_gsuite_effective,
         "kg_do_droplets": _q_kg_do_droplets,
         "kg_es_dns": _q_kg_es_dns,
         "kg_azure_public_containers": _q_kg_azure_public_containers,
         "kg_azure_sql_dbs": _q_kg_azure_sql_dbs,
-        "kg_two_tag_pods": _q_kg_two_tag_pods,
         "kg_redshift_sg": _q_kg_redshift_sg,
         "kg_secrets_unrotated": _q_kg_secrets_unrotated,
         "kg_ssm_missing_patches": _q_kg_ssm_missing_patches,
@@ -1589,42 +1736,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_oci_members": _q_kg_oci_members,
         "kg_host_cves": _q_kg_host_cves,
         "kg_duo_humans": _q_kg_duo_humans,
-        "kg_lastpass_identity": _q_kg_lastpass_identity,
-        "kg_semgrep_repo_cves": _q_kg_semgrep_repo_cves,
-        "kg_snipeit_checkouts": _q_kg_snipeit_checkouts,
-        "kg_sqs_dlq": _q_kg_sqs_dlq,
-        "kg_kms_aliases": _q_kg_kms_aliases,
-        "kg_apigw_chain": _q_kg_apigw_chain,
-        "kg_ecs_services": _q_kg_ecs_services,
-        "kg_ecs_task_images": _q_kg_ecs_task_images,
         "kg_spans": _q_kg_spans,
         "kg_mentions": _q_kg_mentions,
         "kg_entity_links": _q_kg_entity_links,
-        "kg_canonical_map": _q_kg_canonical_map,
-        "kg_mention_triples": _q_kg_mention_triples,
-        "kg_exposure": _q_kg_exposure,
-        "kg_vpc_subnets": _q_kg_vpc_subnets,
-        "kg_eni_exposure": _q_kg_eni_exposure,
-        "kg_elb_exposed": _q_kg_elb_exposed,
-        "kg_elb_targets": _q_kg_elb_targets,
-        "kg_exposure_types": _q_kg_exposure_types,
-        "kg_drift_users": _q_kg_drift_users,
         "text_token_stats": _q_text_token_stats,
-        "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_prefix": _q_dedup_prefix,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "sim_topk_cosine": _q_sim_topk_cosine,
-        "sim_topk_arrow": _q_sim_topk_arrow,
-        "sim_ann_lsh": _q_sim_ann_lsh,
         "multimodal_media_meta": _q_multimodal_media_meta,
-        "events_sessions": _q_events_sessions,
-        "events_sessions_stateful": _q_events_sessions_stateful,
         "events_windowed_counts": _q_events_windowed_counts,
     }
 
@@ -2577,6 +2695,54 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(etype, ',' ORDER BY etype) AS exposure_types
             FROM (SELECT DISTINCT instance_id, etype FROM legs)
             GROUP BY instance_id
+        """,
+        "kg_okta_apps": """
+            SELECT 'og-n-' || CAST(s_nationkey AS VARCHAR) AS group_id,
+                   '0oa-' || CAST(s_suppkey AS VARCHAR) AS app_id
+            FROM supplier WHERE s_suppkey % 8 = 2
+        """,
+        "kg_okta_factors": """
+            SELECT 'okta-' || CAST(c_custkey AS VARCHAR) AS user_id,
+                   'opf-' || CAST(c_custkey AS VARCHAR) || '-push' AS factor_id,
+                   'push' AS factor_type
+            FROM customer WHERE c_custkey % 4 = 0
+            UNION ALL
+            SELECT 'okta-' || CAST(c_custkey AS VARCHAR),
+                   'opf-' || CAST(c_custkey AS VARCHAR) || '-sms',
+                   'sms'
+            FROM customer WHERE c_custkey % 6 = 0
+        """,
+        "kg_okta_admin_roles": """
+            SELECT 'okta-' || CAST(c_custkey AS VARCHAR) AS user_id,
+                   CASE WHEN c_custkey % 100 = 0 THEN 'SUPER_ADMIN'
+                        ELSE 'HELP_DESK_ADMIN' END AS role_type
+            FROM customer WHERE c_custkey % 50 = 0
+        """,
+        "kg_github_teams": """
+            SELECT 'https://github.com/orgs/corp/teams/team-'
+                     || CAST(CAST(p_partkey / 50 AS BIGINT) % 25 AS VARCHAR) AS team_id,
+                   'https://github.com/corp/repo-' || CAST(p_partkey AS VARCHAR) AS repo_url,
+                   CASE CAST(p_partkey / 50 AS BIGINT) % 3
+                        WHEN 0 THEN 'ADMIN' WHEN 1 THEN 'WRITE' ELSE 'READ'
+                   END AS permission
+            FROM part WHERE p_partkey % 50 = 0
+        """,
+        "kg_gcp_buckets": """
+            SELECT 'projects/proj-' || CAST(CAST(p_partkey / 30 AS BIGINT) % 25 AS VARCHAR) AS project_id,
+                   'gcs-bucket-' || CAST(p_partkey AS VARCHAR) AS bucket_id
+            FROM part WHERE p_partkey % 30 = 0
+        """,
+        "kg_gcp_dns_xprovider": """
+            WITH t AS (
+              SELECT c_custkey AS c, (c_custkey % 10) * 7 AS t,
+                     CAST((c_custkey % 12) + (((c_custkey % 12) + 1) % 2) AS VARCHAR) AS zk
+              FROM customer WHERE c_custkey % 9 = 0
+            )
+            SELECT 'aws-alias-' || CAST(c AS VARCHAR) || '.gzone-' || zk || '.example.org.' AS gcp_record_id,
+                   'Z' || CAST(t % 25 AS VARCHAR) || '/host-' || CAST(t AS VARCHAR)
+                     || '.zone-' || CAST(t % 25 AS VARCHAR) || '.example.com/A' AS aws_record_id
+            FROM t
+            WHERE EXISTS (SELECT 1 FROM customer x WHERE x.c_custkey = t.t AND x.c_custkey % 7 = 0)
         """,
         "kg_drift_users": f"""
             WITH t1 AS (SELECT {user_arn_c} AS arn, '/' AS path FROM customer c),

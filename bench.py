@@ -93,6 +93,7 @@ def main():
     for name in [
         "kg_permission_can_read",
         "kg_exposure",
+        "kg_exposure_types",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",

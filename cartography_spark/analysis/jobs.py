@@ -618,3 +618,37 @@ def link_container_images(
     if not store.stage_done(stage + ":edges", update_tag):
         store.upsert(None, edges, stage + ":edges", update_tag)
     _cleanup_rel(store, "HAS_IMAGE", update_tag, stage)
+
+
+def gcp_aws_dns_links(
+    store: GraphStore, spark: SparkSession, sf_dir: str, update_tag: int
+) -> None:
+    """Cross-provider DNS resolution: a GCPRecordSet CNAME whose value is an
+    AWS Route53 DNSRecord's name gets (GCPRecordSet)-[:DNS_POINTS_TO]->
+    (AWSDNSRecord).  Engine-original composition of the reference's two
+    record spaces (intel/gcp/dns.py record sets x intel/aws/route53.py
+    records — the reference loads both but never joins them); same
+    mark-and-clean discipline as the packaged analysis jobs.
+
+    Join shape: both sides are dimension-small relative to the graph; the
+    AWS record side is matched on its indexed ``name`` prop.  At scale this
+    is an equi-join on name — shuffle-partitioned by name, no broadcast
+    assumption needed (record tables can be huge)."""
+    stage = "analysis:gcp_aws_dns"
+    gcp = (
+        store.nodes(labels=["GCPRecordSet"])
+        .where(F.element_at("props", "type") == "CNAME")
+        .select(
+            F.col("id").alias("src_id"),
+            F.element_at("props", "value").alias("target_name"),
+        )
+    )
+    aws = store.nodes(labels=["AWSDNSRecord"]).select(
+        F.col("id").alias("dst_id"),
+        F.element_at("props", "name").alias("target_name"),
+    )
+    pairs = gcp.join(aws, "target_name").select("src_id", "dst_id")
+    edges = _edge_frame(pairs, "GCPRecordSet", "DNS_POINTS_TO", "AWSDNSRecord", update_tag)
+    if not store.stage_done(stage + ":edges", update_tag):
+        store.upsert(None, edges, stage + ":edges", update_tag)
+    _cleanup_rel(store, "DNS_POINTS_TO", update_tag, stage)

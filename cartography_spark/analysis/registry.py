@@ -30,6 +30,7 @@ def default_jobs() -> list[AnalysisJob]:
     from cartography_spark.analysis.jobs import (
         ec2_iam_instanceprofiles,
         eks_exposure,
+        gcp_aws_dns_links,
         gcp_inet_exposure,
         gke_basic_auth,
         gke_exposure,
@@ -63,6 +64,7 @@ def default_jobs() -> list[AnalysisJob]:
         AnalysisJob("k8s_lb_exposure", k8s_lb_exposure),
         AnalysisJob("aws_rds_exposure", rds_exposure),
         AnalysisJob("container_images", link_container_images),
+        AnalysisJob("gcp_aws_dns", gcp_aws_dns_links),
     ]
 
 

@@ -102,6 +102,13 @@ class GraphStore:
     def current_meta(self) -> dict:
         return self._manifest(self._current_version())
 
+    def label_rowcount(self, label: str) -> int | None:
+        """Committed row count for one node label, straight from the manifest
+        (the Iceberg-style stats a commit records) — no Spark job.  None if
+        the label has never been committed."""
+        entry = self.current_meta().get("nodes", {}).get(label)
+        return int(entry["rows"]) if entry else None
+
     def _manifest(self, version: int) -> dict:
         if version <= 0:
             return {}
@@ -695,7 +702,17 @@ class BufferedSyncStore:
         flush re-runs the whole group (upsert is a MERGE — idempotent).
     """
 
-    _NO_FLUSH = {"spark", "root", "write_partitions", "stage_done", "_manifest"}
+    _NO_FLUSH = {
+        "spark",
+        "root",
+        "write_partitions",
+        "stage_done",
+        "_manifest",
+        # manifest-only reads: label_rowcount is a chunk-sizing HINT (callers
+        # tolerate staleness wrt buffered batches), so it must not force a
+        # flush from inside a grouped stage
+        "label_rowcount",
+    }
 
     def __init__(self, store: GraphStore):
         self._store = store

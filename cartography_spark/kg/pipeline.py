@@ -42,11 +42,11 @@ from cartography_spark.modules.aws_inventory import (
 from cartography_spark.modules.azure import sync_azure, sync_azure_storage_sql
 from cartography_spark.modules.digitalocean import sync_digitalocean
 from cartography_spark.modules.devices import sync_devices
-from cartography_spark.modules.gcp import sync_gcp
+from cartography_spark.modules.gcp import sync_gcp, sync_gcp_storage_dns
 from cartography_spark.modules.gsuite import sync_gsuite
 from cartography_spark.modules.pagerduty_oci import sync_oci, sync_pagerduty
 from cartography_spark.modules.saas import sync_saas
-from cartography_spark.modules.github import sync_github
+from cartography_spark.modules.github import sync_github, sync_github_teams
 from cartography_spark.modules.hr import sync_humans
 from cartography_spark.sources import fixtures as fx
 from cartography_spark.sources.docs_synth import interleaved_documents
@@ -190,6 +190,15 @@ def run_sync(
         fw_rules=fx.gcp_fw_rules(spark, sf_dir),
         gke=fx.gke_clusters(spark, sf_dir),
     )
+    # GCS buckets + Cloud DNS (records compose with the AWS Route53 record
+    # space through the gcp_aws_dns analysis join)
+    sync_gcp_storage_dns(
+        store,
+        fx.gcp_buckets(spark, sf_dir),
+        fx.gcp_dns_zones(spark, sf_dir),
+        fx.gcp_dns_records(spark, sf_dir),
+        update_tag,
+    )
     sync_azure(
         store,
         fx.azure_subscriptions(spark, sf_dir),
@@ -300,6 +309,17 @@ def run_sync(
         update_tag,
     )
     okta.sync_saml(store, update_tag)
+    # Okta breadth: applications (+reply URIs, user/group assignments),
+    # MFA factors, admin roles, trusted origins
+    okta.sync_okta_breadth(
+        store,
+        fx.okta_applications(spark, sf_dir),
+        fx.okta_app_users(spark, sf_dir),
+        fx.okta_factors(spark, sf_dir),
+        fx.okta_admin_roles(spark, sf_dir),
+        fx.okta_trusted_origins(spark, sf_dir),
+        update_tag,
+    )
 
     if with_github:
         sync_github(
@@ -307,6 +327,12 @@ def run_sync(
             fx.github_repos(spark, sf_dir),
             fx.github_requirements(spark, sf_dir),
             fx.github_users(spark, sf_dir),
+            update_tag,
+        )
+        sync_github_teams(
+            store,
+            fx.github_orgs(spark, sf_dir),
+            fx.github_teams(spark, sf_dir),
             update_tag,
         )
 

@@ -283,3 +283,88 @@ def sync_gcp(
             "gcp:gke",
             update_tag,
         )
+
+
+# --- round-3 breadth: GCS buckets + Cloud DNS ------------------------------
+
+BUCKET_SCHEMA = NodeSchema(
+    label="GCPBucket",
+    id=PropertyRef("bucket_id"),
+    properties={
+        "storage_class": PropertyRef("storage_class"),
+        "versioning_enabled": PropertyRef("versioning_enabled"),
+    },
+    sub_resource_rel=RelSchema(
+        # reference intel/gcp/storage.py:117-143 MERGEs the project RESOURCE
+        target_label="GCPProject",
+        rel_label="RESOURCE",
+        direction=LinkDirection.INWARD,
+        matcher=TargetNodeMatcher({"id": PropertyRef("project_id")}),
+    ),
+)
+
+DNS_ZONE_SCHEMA = NodeSchema(
+    label="GCPDNSZone",
+    id=PropertyRef("zone_id"),
+    properties={
+        "dns_name": PropertyRef("dns_name"),
+        "visibility": PropertyRef("visibility"),
+    },
+    sub_resource_rel=RelSchema(
+        # reference intel/gcp/dns.py:130-131
+        target_label="GCPProject",
+        rel_label="RESOURCE",
+        direction=LinkDirection.INWARD,
+        matcher=TargetNodeMatcher({"id": PropertyRef("project_id")}),
+    ),
+)
+
+RECORD_SET_SCHEMA = NodeSchema(
+    # reference intel/gcp/dns.py:167-179: GCPRecordSet{id: name} with
+    # (zone)-[:HAS_RECORD]->(rrs)
+    label="GCPRecordSet",
+    id=PropertyRef("record_id"),
+    properties={"type": PropertyRef("rtype"), "value": PropertyRef("value")},
+    other_rels=(
+        RelSchema(
+            target_label="GCPDNSZone",
+            rel_label="HAS_RECORD",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("zone_id")}),
+        ),
+    ),
+)
+
+
+def sync_gcp_storage_dns(
+    store: GraphStore,
+    buckets: DataFrame,
+    dns_zones: DataFrame,
+    dns_records: DataFrame,
+    update_tag: int,
+) -> None:
+    """GCS buckets, Cloud DNS zones, then record sets (attach to zones).
+    The cross-provider record join (GCPRecordSet CNAME values landing in the
+    AWS Route53 DNSRecord name space) runs as an analysis derivation —
+    analysis/jobs.py gcp_aws_dns_links."""
+    if not store.stage_done("gcp:buckets", update_tag):
+        store.upsert(
+            compile_nodes(buckets, BUCKET_SCHEMA, update_tag),
+            compile_edges(buckets, BUCKET_SCHEMA, store.nodes(), update_tag),
+            "gcp:buckets",
+            update_tag,
+        )
+    if not store.stage_done("gcp:dns_zones", update_tag):
+        store.upsert(
+            compile_nodes(dns_zones, DNS_ZONE_SCHEMA, update_tag),
+            compile_edges(dns_zones, DNS_ZONE_SCHEMA, store.nodes(), update_tag),
+            "gcp:dns_zones",
+            update_tag,
+        )
+    if not store.stage_done("gcp:dns_records", update_tag):
+        store.upsert(
+            compile_nodes(dns_records, RECORD_SET_SCHEMA, update_tag),
+            compile_edges(dns_records, RECORD_SET_SCHEMA, store.nodes(), update_tag),
+            "gcp:dns_records",
+            update_tag,
+        )

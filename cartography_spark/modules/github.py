@@ -87,3 +87,66 @@ def sync_github(
         nodes = compile_nodes(users, GITHUB_USER_SCHEMA, update_tag)
         edges = compile_edges(users, GITHUB_USER_SCHEMA, store.nodes(), update_tag)
         store.upsert(nodes, edges, "github:users", update_tag)
+
+
+# --- round-3 breadth: organization + teams with per-permission repo rels ---
+
+ORG_SCHEMA = NodeSchema(
+    label="GitHubOrganization",
+    id=PropertyRef("id"),
+    properties={"username": PropertyRef("username")},
+)
+
+TEAM_SCHEMA = NodeSchema(
+    # Reference models/github/teams.py: GitHubTeam with one rel family per
+    # permission tier, each matching GitHubRepository by id through a
+    # permission-named property (null unless that tier applies) — the
+    # compile inner-join drops null matches, exactly the reference's
+    # conditional MatchLinks.
+    label="GitHubTeam",
+    id=PropertyRef("team_id"),
+    properties={"name": PropertyRef("name")},
+    sub_resource_rel=RelSchema(
+        target_label="GitHubOrganization",
+        rel_label="RESOURCE",
+        direction=LinkDirection.INWARD,
+        matcher=TargetNodeMatcher({"id": PropertyRef("org_url")}),
+    ),
+    other_rels=(
+        RelSchema(
+            target_label="GitHubRepository",
+            rel_label="ADMIN",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("admin_repo")}),
+        ),
+        RelSchema(
+            target_label="GitHubRepository",
+            rel_label="WRITE",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("write_repo")}),
+        ),
+        RelSchema(
+            target_label="GitHubRepository",
+            rel_label="READ",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("read_repo")}),
+        ),
+    ),
+)
+
+
+def sync_github_teams(
+    store: GraphStore, orgs: DataFrame, teams: DataFrame, update_tag: int
+) -> None:
+    """Org node first, then teams (multi-row per team — one per repo grant;
+    the node dedupe window collapses them) with ADMIN/WRITE/READ edges
+    (reference intel/github/teams.py sync)."""
+    if not store.stage_done("github:orgs", update_tag):
+        store.upsert(compile_nodes(orgs, ORG_SCHEMA, update_tag), None, "github:orgs", update_tag)
+    if not store.stage_done("github:teams", update_tag):
+        store.upsert(
+            compile_nodes(teams, TEAM_SCHEMA, update_tag),
+            compile_edges(teams, TEAM_SCHEMA, store.nodes(), update_tag),
+            "github:teams",
+            update_tag,
+        )

@@ -84,15 +84,21 @@ def effective_memberships(
     closure = users.select(F.col("id").alias("user_id"), "group_id")
     frontier = closure
     for _ in range(max_depth):
+        # localCheckpoint cuts lineage each round (same discipline as
+        # kg/canonicalize.py's connected-components loop): without it round
+        # N re-executes an O(N)-deep plan — O(depth^2) total work — and the
+        # isEmpty() action below would re-derive every earlier frontier.
+        # At cluster scale this cut would be a write to reliable storage.
         nxt = (
             frontier.join(F.broadcast(parents), "group_id")
             .select("user_id", F.col("parent_id").alias("group_id"))
             .exceptAll(closure)
             .distinct()
+            .localCheckpoint()
         )
         if nxt.isEmpty():
             break
-        closure = closure.unionByName(nxt)
+        closure = closure.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return closure
 

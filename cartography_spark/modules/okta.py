@@ -150,3 +150,143 @@ def sync_saml(store: GraphStore, update_tag: int) -> None:
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
 
     store.upsert(None, allowed_edges.unionByName(can_assume), stage, update_tag)
+
+
+# --- round-3 breadth: applications, factors, admin roles, trusted origins ---
+
+APPLICATION_SCHEMA = NodeSchema(
+    label="OktaApplication",
+    id=PropertyRef("id"),
+    properties={"name": PropertyRef("name"), "app_label": PropertyRef("label")},
+    sub_resource_rel=ORG_REL,
+    other_rels=(
+        # (group)-[:APPLICATION]->(app) — reference applications.py:336-342
+        RelSchema(
+            target_label="OktaGroup",
+            rel_label="APPLICATION",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("group_id")}),
+        ),
+    ),
+)
+
+REPLY_URI_SCHEMA = NodeSchema(
+    # (uri:ReplyUri)<-[:REPLYURI]-(app) — reference applications.py:370-379
+    label="ReplyUri",
+    id=PropertyRef("reply_uri"),
+    other_rels=(
+        RelSchema(
+            target_label="OktaApplication",
+            rel_label="REPLYURI",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("id")}),
+        ),
+    ),
+)
+
+APP_USER_SCHEMA = NodeSchema(
+    # (user)-[:APPLICATION]->(app) — reference applications.py:304-311
+    label="OktaUser",
+    id=PropertyRef("user_id"),
+    other_rels=(
+        RelSchema(
+            target_label="OktaApplication",
+            rel_label="APPLICATION",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("app_id")}),
+        ),
+    ),
+)
+
+FACTOR_SCHEMA = NodeSchema(
+    # OktaUserFactor{id}, (user)-[:FACTOR]->(factor) — factors.py:107-121
+    label="OktaUserFactor",
+    id=PropertyRef("factor_id"),
+    properties={
+        "factor_type": PropertyRef("factor_type"),
+        "provider": PropertyRef("provider"),
+    },
+    other_rels=(
+        RelSchema(
+            target_label="OktaUser",
+            rel_label="FACTOR",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("user_id")}),
+        ),
+    ),
+)
+
+ADMIN_ROLE_SCHEMA = NodeSchema(
+    # OktaAdministrationRole{id: role type} is SHARED across grantees
+    # (roles.py:99-141 MERGEs by type) — the compiler's dedupe-by-key window
+    # collapses the per-grant rows into one node per type.
+    label="OktaAdministrationRole",
+    id=PropertyRef("role_type"),
+    properties={"label": PropertyRef("role_label")},
+    sub_resource_rel=ORG_REL,
+    other_rels=(
+        RelSchema(
+            target_label="OktaUser",
+            rel_label="MEMBER_OF_OKTA_ROLE",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("user_id")}),
+        ),
+    ),
+)
+
+TRUSTED_ORIGIN_SCHEMA = NodeSchema(
+    # OktaTrustedOrigin{id} — origins.py:77-93
+    label="OktaTrustedOrigin",
+    id=PropertyRef("origin_id"),
+    properties={"name": PropertyRef("name"), "origin": PropertyRef("origin_url")},
+    sub_resource_rel=ORG_REL,
+)
+
+
+def sync_okta_breadth(
+    store: GraphStore,
+    applications: DataFrame,
+    app_users: DataFrame,
+    factors: DataFrame,
+    admin_roles: DataFrame,
+    origins: DataFrame,
+    update_tag: int,
+) -> None:
+    """Applications (+reply URIs, +group/user assignments), MFA factors,
+    admin roles, trusted origins — the reference's remaining okta/ modules
+    (applications.py, factors.py, roles.py, origins.py)."""
+    if not store.stage_done("okta:applications", update_tag):
+        nodes = compile_nodes(applications, APPLICATION_SCHEMA, update_tag).unionByName(
+            compile_nodes(applications, REPLY_URI_SCHEMA, update_tag)
+        )
+        edges = compile_edges(applications, APPLICATION_SCHEMA, store.nodes(), update_tag)
+        store.upsert(nodes, edges, "okta:applications", update_tag)
+    if not store.stage_done("okta:app_links", update_tag):
+        # reply-uri + user->app edges need the app nodes committed/visible
+        edges = compile_edges(
+            applications, REPLY_URI_SCHEMA, store.nodes(), update_tag
+        ).unionByName(
+            compile_edges(app_users, APP_USER_SCHEMA, store.nodes(), update_tag)
+        )
+        store.upsert(None, edges, "okta:app_links", update_tag)
+    if not store.stage_done("okta:factors", update_tag):
+        store.upsert(
+            compile_nodes(factors, FACTOR_SCHEMA, update_tag),
+            compile_edges(factors, FACTOR_SCHEMA, store.nodes(), update_tag),
+            "okta:factors",
+            update_tag,
+        )
+    if not store.stage_done("okta:roles", update_tag):
+        store.upsert(
+            compile_nodes(admin_roles, ADMIN_ROLE_SCHEMA, update_tag),
+            compile_edges(admin_roles, ADMIN_ROLE_SCHEMA, store.nodes(), update_tag),
+            "okta:roles",
+            update_tag,
+        )
+    if not store.stage_done("okta:origins", update_tag):
+        store.upsert(
+            compile_nodes(origins, TRUSTED_ORIGIN_SCHEMA, update_tag),
+            compile_edges(origins, TRUSTED_ORIGIN_SCHEMA, store.nodes(), update_tag),
+            "okta:origins",
+            update_tag,
+        )

@@ -128,6 +128,7 @@ def evaluate_permissions(
     resources: DataFrame,
     permission: str,
     chunk_size: int = 10_000,
+    n_resources_hint: int | None = None,
 ) -> DataFrame:
     """(principal_arn, resource_arn) pairs where `permission` is granted.
 
@@ -149,8 +150,17 @@ def evaluate_permissions(
     from cartography_spark.functions.arn import arn_service
 
     resources = resources.where(arn_service(F.col("arn")) == service)
-    # chunk id: stable hash bucketing so each chunk stays under chunk_size
-    n_res = resources.select(F.col("arn")).distinct().count()
+    # chunk id: stable hash bucketing so each chunk stays under chunk_size.
+    # ``n_resources_hint`` (the target label's manifest row count — an upper
+    # bound on the service-pruned distinct set) sizes the chunks WITHOUT an
+    # eager count() job; a 100-row mapping config would otherwise pay 100
+    # extra Spark jobs just to size chunks.  Over-counting only makes chunks
+    # smaller than necessary, never larger than chunk_size.
+    n_res = (
+        n_resources_hint
+        if n_resources_hint is not None
+        else resources.select(F.col("arn")).distinct().count()
+    )
     n_chunks = max(1, (n_res + chunk_size - 1) // chunk_size)
     chunks = (
         resources.select(F.col("arn").alias("resource_arn"))
@@ -239,7 +249,13 @@ def sync_permission_edges(
     resources = (
         store.nodes().where(F.col("label") == target_label).select(F.col("id").alias("arn"))
     )
-    granted = evaluate_permissions(policies, statements, resources, permission)
+    granted = evaluate_permissions(
+        policies,
+        statements,
+        resources,
+        permission,
+        n_resources_hint=store.label_rowcount(target_label),
+    )
     edges = granted.select(
         F.col("principal_arn").alias("src_id"),
         F.lit("AWSPrincipal").alias("src_label"),

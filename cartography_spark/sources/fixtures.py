@@ -2063,3 +2063,207 @@ def elbv2_load_balancers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("i-"), ((sk + 1) % F.col("n_supp")).cast("string")).alias("target_instance_2"),
         _acct(F.col("s_nationkey")).alias("account_id"),
     )
+
+
+# --- round-3 breadth: Okta apps/factors/roles, GitHub teams, GCP storage+DNS
+
+
+@plan_memo
+def okta_applications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OktaApplication per supplier s%8==2 (reference
+    intel/okta/applications.py:262-293: OktaApplication{id} under the org
+    RESOURCE edge; assigned groups get (group)-[:APPLICATION]->(app); reply
+    URIs get (uri:ReplyUri)<-[:REPLYURI]-(app)).  Each app is assigned to
+    its nation's team group.
+    Columns: id, name, label, org_id, group_id, reply_uri."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 8) == 2)
+    sk = F.col("s_suppkey")
+    return s.select(
+        F.concat(F.lit("0oa-"), sk.cast("string")).alias("id"),
+        F.concat(F.lit("app-"), sk.cast("string")).alias("name"),
+        F.concat(F.lit("App "), sk.cast("string")).alias("label"),
+        F.concat(F.lit("okta-org-"), (F.col("s_nationkey") % 5).cast("string")).alias("org_id"),
+        F.concat(F.lit("og-n-"), F.col("s_nationkey").cast("string")).alias("group_id"),
+        F.concat(F.lit("https://app-"), sk.cast("string"), F.lit(".example.com/callback")).alias("reply_uri"),
+    )
+
+
+@plan_memo
+def okta_app_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct user->application assignments (reference applications.py:304-311
+    (user)-[:APPLICATION]->(app)): app s is assigned to okta users
+    (2s % n_cust) and ((2s+40) % n_cust) — even by construction (customer
+    keys 0..n-1, n even), so both are real Okta users at every sf.
+    Columns: user_id, app_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 8) == 2)
+    n_cust = read_table(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("n_cust"))
+    s = s.crossJoin(F.broadcast(n_cust))
+    sk = F.col("s_suppkey")
+    app = F.concat(F.lit("0oa-"), sk.cast("string"))
+    return s.select(
+        F.concat(F.lit("okta-"), ((sk * 2) % F.col("n_cust")).cast("string")).alias("user_id"),
+        app.alias("app_id"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("okta-"), ((sk * 2 + 40) % F.col("n_cust")).cast("string")).alias("user_id"),
+            app.alias("app_id"),
+        )
+    )
+
+
+@plan_memo
+def okta_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFA factors (reference intel/okta/factors.py:107-121:
+    OktaUserFactor{id}, (user)-[:FACTOR]->(factor)).  Okta users (c%2==0):
+    a push factor when c%4==0, plus an sms factor when c%6==0.
+    Columns: factor_id, user_id, factor_type, provider."""
+    c = read_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    uid = F.concat(F.lit("okta-"), ck.cast("string"))
+    push = c.where((ck % 4) == 0).select(
+        F.concat(F.lit("opf-"), ck.cast("string"), F.lit("-push")).alias("factor_id"),
+        uid.alias("user_id"),
+        F.lit("push").alias("factor_type"),
+        F.lit("OKTA").alias("provider"),
+    )
+    sms = c.where((ck % 6) == 0).select(
+        F.concat(F.lit("opf-"), ck.cast("string"), F.lit("-sms")).alias("factor_id"),
+        uid.alias("user_id"),
+        F.lit("sms").alias("factor_type"),
+        F.lit("OKTA").alias("provider"),
+    )
+    return push.unionByName(sms)
+
+
+@plan_memo
+def okta_admin_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admin-role grants (reference intel/okta/roles.py:99-141:
+    OktaAdministrationRole{id: role type} shared across grantees, with
+    (user)-[:MEMBER_OF_OKTA_ROLE]->(role) and the org RESOURCE edge).
+    SUPER_ADMIN for c%100==0, HELP_DESK_ADMIN for the other c%50==0.
+    Columns: user_id, role_type, role_label, org_id."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 50) == 0)
+    ck = F.col("c_custkey")
+    rtype = F.when((ck % 100) == 0, F.lit("SUPER_ADMIN")).otherwise(F.lit("HELP_DESK_ADMIN"))
+    return c.select(
+        F.concat(F.lit("okta-"), ck.cast("string")).alias("user_id"),
+        rtype.alias("role_type"),
+        F.initcap(F.regexp_replace(rtype, "_", " ")).alias("role_label"),
+        F.concat(F.lit("okta-org-"), (F.col("c_nationkey") % 5).cast("string")).alias("org_id"),
+    )
+
+
+@plan_memo
+def okta_trusted_origins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trusted origins (reference intel/okta/origins.py:77-93:
+    OktaTrustedOrigin{id} under the org RESOURCE edge).
+    Columns: origin_id, name, origin_url, org_id."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("tos-"), nk).alias("origin_id"),
+        F.concat(F.lit("corp-"), nk).alias("name"),
+        F.concat(F.lit("https://corp-"), nk, F.lit(".example.com")).alias("origin_url"),
+        F.concat(F.lit("okta-org-"), F.col("n_regionkey").cast("string")).alias("org_id"),
+    )
+
+
+@plan_memo
+def github_teams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GitHubTeam per nation with per-permission repo grants (reference
+    intel/github/teams.py + models/github/teams.py: one rel family per
+    permission — ADMIN/WRITE/READ — each matching GitHubRepository by id
+    through a permission-named property).  One row per (team, repo) grant:
+    repo p (p%50==0) belongs to team (p/50)%25 with permission cycling by
+    (p/50)%3.  The per-permission column holds the repo url ONLY for that
+    permission (null otherwise) — the reference's exact load shape.
+    Columns: team_id, name, org_url, admin_repo, write_repo, read_repo."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 50) == 0)
+    t = (F.col("p_partkey") / 50).cast("long")
+    perm = t % 3
+    repo = F.concat(F.lit("https://github.com/corp/repo-"), F.col("p_partkey").cast("string"))
+    return p.select(
+        F.concat(F.lit("https://github.com/orgs/corp/teams/team-"), (t % 25).cast("string")).alias("team_id"),
+        F.concat(F.lit("team-"), (t % 25).cast("string")).alias("name"),
+        F.lit("https://github.com/corp").alias("org_url"),
+        F.when(perm == 0, repo).alias("admin_repo"),
+        F.when(perm == 1, repo).alias("write_repo"),
+        F.when(perm == 2, repo).alias("read_repo"),
+    )
+
+
+@plan_memo
+def github_orgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single GitHubOrganization (reference intel/github/users.py loads
+    the org node teams attach to).  Columns: id, username."""
+    r = read_table(spark, sf_dir, "region").where(F.col("r_regionkey") == 0)
+    return r.select(
+        F.lit("https://github.com/corp").alias("id"),
+        F.lit("corp").alias("username"),
+    )
+
+
+@plan_memo
+def gcp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCS buckets (reference intel/gcp/storage.py:117-143:
+    GCPBucket{id} under the project RESOURCE edge; versioning/public-access
+    flags drive policy queries).  Bucket per part p%30==0 in project
+    (p/30)%25.  Columns: bucket_id, project_id, storage_class,
+    versioning_enabled."""
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 30) == 0)
+    pk = F.col("p_partkey")
+    return p.select(
+        F.concat(F.lit("gcs-bucket-"), pk.cast("string")).alias("bucket_id"),
+        F.concat(F.lit("projects/proj-"), ((pk / 30).cast("long") % 25).cast("string")).alias("project_id"),
+        F.when((pk % 90) == 0, F.lit("COLDLINE")).otherwise(F.lit("STANDARD")).alias("storage_class"),
+        ((pk % 60) == 0).cast("string").alias("versioning_enabled"),
+    )
+
+
+@plan_memo
+def gcp_dns_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud DNS managed zones (reference intel/gcp/dns.py:117-131:
+    GCPDNSZone{id} under the project RESOURCE edge).  One public zone per
+    odd nation.  Columns: zone_id, dns_name, project_id, visibility."""
+    n = read_table(spark, sf_dir, "nation").where((F.col("n_nationkey") % 2) == 1)
+    nk = F.col("n_nationkey").cast("string")
+    return n.select(
+        F.concat(F.lit("gcp-zone-"), nk).alias("zone_id"),
+        F.concat(F.lit("gzone-"), nk, F.lit(".example.org.")).alias("dns_name"),
+        F.concat(F.lit("projects/proj-"), nk).alias("project_id"),
+        F.lit("public").alias("visibility"),
+    )
+
+
+@plan_memo
+def gcp_dns_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud DNS record sets (reference intel/gcp/dns.py:167-179:
+    GCPRecordSet{id: name} with (zone)-[:HAS_RECORD]->(rrs)).  A records per
+    odd-zone customer slice, plus CNAMEs whose value lands in the AWS
+    Route53 record space ("host-{7k}.zone-{7k%25}.example.com") — the
+    cross-provider link the record-join analysis resolves.
+    Columns: record_id, zone_id, name, rtype, value."""
+    c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 9) == 0)
+    ck = F.col("c_custkey")
+    zk = ((ck % 12) + (((ck % 12) + 1) % 2)).cast("string")  # odd zone key 1..12
+    a_name = F.concat(F.lit("svc-"), ck.cast("string"), F.lit(".gzone-"), zk, F.lit(".example.org."))
+    a_recs = c.select(
+        a_name.alias("record_id"),
+        F.concat(F.lit("gcp-zone-"), zk).alias("zone_id"),
+        a_name.alias("name"),
+        F.lit("A").alias("rtype"),
+        F.concat(F.lit("34.0."), ((ck / 9).cast("long") % 250).cast("string"), F.lit(".7")).alias("value"),
+    )
+    t = (ck % 10) * 7  # lands on the AWS A-record key space (multiples of 7)
+    cname_name = F.concat(F.lit("aws-alias-"), ck.cast("string"), F.lit(".gzone-"), zk, F.lit(".example.org."))
+    cnames = c.where((ck % 3) == 0).select(
+        cname_name.alias("record_id"),
+        F.concat(F.lit("gcp-zone-"), zk).alias("zone_id"),
+        cname_name.alias("name"),
+        F.lit("CNAME").alias("rtype"),
+        F.concat(
+            F.lit("host-"), t.cast("string"), F.lit(".zone-"), (t % 25).cast("string"),
+            F.lit(".example.com"),
+        ).alias("value"),
+    )
+    return a_recs.unionByName(cnames)

@@ -90,7 +90,7 @@ def test_analysis_jobs_store_roundtrip(spark, store):
         "aws_s3acl", "aws_ec2_iaminstanceprofile", "aws_ec2_keypair",
         "aws_lambda_ecr", "gcp_inet_exposure", "gcp_gke_exposure",
         "gcp_gke_basic_auth", "human_link", "k8s_lb_exposure",
-        "aws_rds_exposure", "container_images",
+        "aws_rds_exposure", "container_images", "gcp_aws_dns",
     }
     nodes, edges = store.nodes(), store.edges()
     # foreign accounts marked, inscope ones not
@@ -761,3 +761,95 @@ def test_exposure_elb_legs_match_naive(spark):
     assert elb_targets
     for r in elb_targets:
         assert "elb" in types[r.i]
+
+
+def test_okta_breadth_graph_shape(spark, store):
+    """Round-3 Okta breadth: applications (+reply URIs, user/group
+    assignments), MFA factors, shared admin-role nodes, trusted origins
+    (reference intel/okta/{applications,factors,roles,origins}.py)."""
+    from cartography_spark.modules.okta import sync_okta, sync_okta_breadth
+
+    sync_okta(
+        store,
+        fx.okta_orgs(spark, SF),
+        fx.okta_groups(spark, SF),
+        fx.okta_users(spark, SF),
+        fx.okta_group_members(spark, SF),
+        T1,
+    )
+    sync_okta_breadth(
+        store,
+        fx.okta_applications(spark, SF),
+        fx.okta_app_users(spark, SF),
+        fx.okta_factors(spark, SF),
+        fx.okta_admin_roles(spark, SF),
+        fx.okta_trusted_origins(spark, SF),
+        T1,
+    )
+    labels = {r[0] for r in store.nodes().select("label").distinct().collect()}
+    assert {
+        "OktaApplication", "ReplyUri", "OktaUserFactor",
+        "OktaAdministrationRole", "OktaTrustedOrigin",
+    } <= labels
+    assert len(check_rels(store, "OktaGroup", "APPLICATION", "OktaApplication")) > 0
+    assert len(check_rels(store, "OktaUser", "APPLICATION", "OktaApplication")) > 0
+    assert len(check_rels(store, "OktaApplication", "REPLYURI", "ReplyUri")) > 0
+    assert len(check_rels(store, "OktaUser", "FACTOR", "OktaUserFactor")) > 0
+    # shared role nodes: one per TYPE, not per grant (reference roles.py
+    # MERGEs by type) — and every grantee edge lands on one of the two
+    roles = {
+        r[0]
+        for r in store.nodes().where(F.col("label") == "OktaAdministrationRole").select("id").collect()
+    }
+    assert roles == {"SUPER_ADMIN", "HELP_DESK_ADMIN"}
+    grants = check_rels(store, "OktaUser", "MEMBER_OF_OKTA_ROLE", "OktaAdministrationRole")
+    assert grants and {g[1] for g in grants} <= roles
+
+
+def test_github_teams_and_gcp_breadth(spark, store):
+    """GitHub teams (per-permission conditional rels) + GCS buckets + Cloud
+    DNS with the cross-provider record join."""
+    from cartography_spark.modules.aws_route53 import sync_route53
+    from cartography_spark.modules.gcp import sync_gcp, sync_gcp_storage_dns
+    from cartography_spark.modules.github import sync_github, sync_github_teams
+    from cartography_spark.analysis.jobs import gcp_aws_dns_links
+
+    sync_github(
+        store,
+        fx.github_repos(spark, SF),
+        fx.github_requirements(spark, SF),
+        fx.github_users(spark, SF),
+        T1,
+    )
+    sync_github_teams(store, fx.github_orgs(spark, SF), fx.github_teams(spark, SF), T1)
+    perms = {
+        rel
+        for rel in ("ADMIN", "WRITE", "READ")
+        for _ in check_rels(store, "GitHubTeam", rel, "GitHubRepository")
+    }
+    assert perms == {"ADMIN", "WRITE", "READ"}
+
+    sync_gcp(store, fx.gcp_projects(spark, SF), fx.gcp_instances(spark, SF), T1)
+    sync_gcp_storage_dns(
+        store,
+        fx.gcp_buckets(spark, SF),
+        fx.gcp_dns_zones(spark, SF),
+        fx.gcp_dns_records(spark, SF),
+        T1,
+    )
+    assert len(check_rels(store, "GCPProject", "RESOURCE", "GCPBucket")) > 0
+    assert len(check_rels(store, "GCPDNSZone", "HAS_RECORD", "GCPRecordSet")) > 0
+
+    # cross-provider: AWS route53 records + the analysis join
+    sync_route53(
+        store,
+        fx.dns_zones(spark, SF),
+        fx.dns_records(spark, SF),
+        fx.dns_nameservers(spark, SF),
+        T1,
+    )
+    gcp_aws_dns_links(store, spark, SF, T1)
+    x = check_rels(store, "GCPRecordSet", "DNS_POINTS_TO", "AWSDNSRecord")
+    assert len(x) > 0
+    for src, dst in x:
+        assert src.startswith("aws-alias-") and "/A" in dst
