@@ -421,6 +421,39 @@ def _q_kg_exposure_types(spark, sf_dir):
     return exposure_types(spark, sf_dir)
 
 
+def _q_kg_asg_members(spark, sf_dir):
+    """(EC2Instance)-[:MEMBER_AUTO_SCALE_GROUP]->(AutoScalingGroup) through
+    the schema compiler, members exploded (reference
+    auto_scaling_groups.py:121-126)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_INSTANCE_SCHEMA
+    from cartography_spark.modules.aws_ec2_network import ASG_SCHEMA, _explode_members
+    from cartography_spark.sources import fixtures as fx
+
+    inst_nodes = compile_nodes(fx.ec2_instances(spark, sf_dir), EC2_INSTANCE_SCHEMA, T1)
+    asgs = fx.ec2_asgs(spark, sf_dir)
+    edges = compile_edges(
+        asgs.select("asg_arn").join(
+            _explode_members(asgs), ["asg_arn"], "inner"
+        ),
+        ASG_SCHEMA,
+        inst_nodes,
+        T1,
+        selected_relationships=["MEMBER_AUTO_SCALE_GROUP"],
+    )
+    return edges.select(
+        F.col("src_id").alias("instance_id"), F.col("dst_id").alias("asg_arn")
+    )
+
+
+def _q_kg_asg_exposure(spark, sf_dir):
+    """Statement 7 of aws_ec2_asset_exposure.json: ASGs accumulate their
+    exposed members' distinct exposure-type sets."""
+    from cartography_spark.analysis.exposure import asg_exposure_types
+
+    return asg_exposure_types(spark, sf_dir)
+
+
 def _q_kg_okta_apps(spark, sf_dir):
     """(OktaGroup)-[:APPLICATION]->(OktaApplication) assignments through the
     schema compiler (reference okta/applications.py:336-342)."""
@@ -1670,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_github_teams": _q_kg_github_teams,
         "kg_gcp_buckets": _q_kg_gcp_buckets,
         "kg_gcp_dns_xprovider": _q_kg_gcp_dns_xprovider,
+        "kg_asg_members": _q_kg_asg_members,
+        "kg_asg_exposure": _q_kg_asg_exposure,
         "dedup_embedding": _q_dedup_embedding,
         "events_sessions_stateful": _q_events_sessions_stateful,
         "kg_exposure": _q_kg_exposure,
@@ -1786,6 +1821,66 @@ def _minhash_sig_sql(num_hashes: int = 16, bands: int = 4) -> str:
 def oracle_sql() -> dict[str, str]:
     n_cust = "(SELECT count(*) FROM customer)"
     n_supp = "(SELECT count(*) FROM supplier)"
+    exposure_legs = """
+            WITH rules AS (
+              SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id,
+                     CAST((p_size % 10) * 100 AS BIGINT) AS fromport,
+                     CAST((p_size % 10) * 100 + 399 AS BIGINT) AS toport
+              FROM part WHERE p_partkey % 10 = 0 AND p_partkey % 4 = 0
+            ),
+            inst AS (
+              SELECT s_suppkey AS sk, 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                     'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS port
+              FROM supplier
+            ),
+            enis AS (
+              SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
+                     'sg-' || CAST(((s_suppkey*20) % (SELECT count(*) FROM part))
+                                   - (((s_suppkey*20) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS port
+              FROM supplier WHERE s_suppkey % 2 = 1
+            ),
+            expelb AS (
+              SELECT DISTINCT l.sk FROM (
+                SELECT s_suppkey AS sk,
+                       'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                     - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                       CAST((s_suppkey % 10) * 100 + 25 AS BIGINT) AS port
+                FROM supplier WHERE s_suppkey % 3 = 0 AND s_suppkey % 2 = 0
+              ) l JOIN rules r ON l.sg_id = r.sg_id
+              WHERE l.port >= r.fromport AND l.port <= r.toport
+            ),
+            expv2 AS (
+              SELECT DISTINCT l.sk FROM (
+                SELECT s_suppkey AS sk,
+                       'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
+                                     - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
+                       CAST((s_suppkey % 10) * 100 + 75 AS BIGINT) AS port
+                FROM supplier WHERE s_suppkey % 3 = 1 AND s_suppkey % 2 = 0 AND s_suppkey % 7 <> 0
+              ) l JOIN rules r ON l.sg_id = r.sg_id
+              WHERE l.port >= r.fromport AND l.port <= r.toport
+            ),
+            legs AS (
+              SELECT i.instance_id, 'direct' AS etype
+              FROM inst i JOIN rules r ON i.sg_id = r.sg_id
+              WHERE i.port >= r.fromport AND i.port <= r.toport
+              UNION ALL
+              SELECT e.instance_id, 'direct'
+              FROM enis e JOIN rules r ON e.sg_id = r.sg_id
+              WHERE e.port >= r.fromport AND e.port <= r.toport
+              UNION ALL
+              SELECT 'i-' || CAST(sk AS VARCHAR), 'elb' FROM expelb
+              UNION ALL
+              SELECT 'i-' || CAST((sk + 1) % (SELECT count(*) FROM supplier) AS VARCHAR), 'elb' FROM expelb
+              UNION ALL
+              SELECT 'i-' || CAST(sk AS VARCHAR), 'elbv2' FROM expv2
+              UNION ALL
+              SELECT 'i-' || CAST((sk + 1) % (SELECT count(*) FROM supplier) AS VARCHAR), 'elbv2' FROM expv2
+            )
+            """
+
     user_arn_c = (
         f"'arn:aws:iam::' || {ACCT.format(k='c.c_nationkey')} || ':user/user-' || CAST(c.c_custkey AS VARCHAR)"
     )
@@ -2633,68 +2728,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT lb_id, instance_id FROM t
         """,
-        "kg_exposure_types": """
-            WITH rules AS (
-              SELECT 'sg-' || CAST(p_partkey AS VARCHAR) AS sg_id,
-                     CAST((p_size % 10) * 100 AS BIGINT) AS fromport,
-                     CAST((p_size % 10) * 100 + 399 AS BIGINT) AS toport
-              FROM part WHERE p_partkey % 10 = 0 AND p_partkey % 4 = 0
-            ),
-            inst AS (
-              SELECT s_suppkey AS sk, 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
-                     'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
-                                   - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
-                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS port
-              FROM supplier
-            ),
-            enis AS (
-              SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id,
-                     'sg-' || CAST(((s_suppkey*20) % (SELECT count(*) FROM part))
-                                   - (((s_suppkey*20) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
-                     CAST((s_suppkey % 10) * 100 + 50 AS BIGINT) AS port
-              FROM supplier WHERE s_suppkey % 2 = 1
-            ),
-            expelb AS (
-              SELECT DISTINCT l.sk FROM (
-                SELECT s_suppkey AS sk,
-                       'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
-                                     - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
-                       CAST((s_suppkey % 10) * 100 + 25 AS BIGINT) AS port
-                FROM supplier WHERE s_suppkey % 3 = 0 AND s_suppkey % 2 = 0
-              ) l JOIN rules r ON l.sg_id = r.sg_id
-              WHERE l.port >= r.fromport AND l.port <= r.toport
-            ),
-            expv2 AS (
-              SELECT DISTINCT l.sk FROM (
-                SELECT s_suppkey AS sk,
-                       'sg-' || CAST(((s_suppkey*10) % (SELECT count(*) FROM part))
-                                     - (((s_suppkey*10) % (SELECT count(*) FROM part)) % 10) AS VARCHAR) AS sg_id,
-                       CAST((s_suppkey % 10) * 100 + 75 AS BIGINT) AS port
-                FROM supplier WHERE s_suppkey % 3 = 1 AND s_suppkey % 2 = 0 AND s_suppkey % 7 <> 0
-              ) l JOIN rules r ON l.sg_id = r.sg_id
-              WHERE l.port >= r.fromport AND l.port <= r.toport
-            ),
-            legs AS (
-              SELECT i.instance_id, 'direct' AS etype
-              FROM inst i JOIN rules r ON i.sg_id = r.sg_id
-              WHERE i.port >= r.fromport AND i.port <= r.toport
-              UNION ALL
-              SELECT e.instance_id, 'direct'
-              FROM enis e JOIN rules r ON e.sg_id = r.sg_id
-              WHERE e.port >= r.fromport AND e.port <= r.toport
-              UNION ALL
-              SELECT 'i-' || CAST(sk AS VARCHAR), 'elb' FROM expelb
-              UNION ALL
-              SELECT 'i-' || CAST((sk + 1) % (SELECT count(*) FROM supplier) AS VARCHAR), 'elb' FROM expelb
-              UNION ALL
-              SELECT 'i-' || CAST(sk AS VARCHAR), 'elbv2' FROM expv2
-              UNION ALL
-              SELECT 'i-' || CAST((sk + 1) % (SELECT count(*) FROM supplier) AS VARCHAR), 'elbv2' FROM expv2
-            )
+        "kg_exposure_types": exposure_legs + """
             SELECT instance_id,
                    string_agg(etype, ',' ORDER BY etype) AS exposure_types
             FROM (SELECT DISTINCT instance_id, etype FROM legs)
             GROUP BY instance_id
+        """,
+        "kg_asg_members": """
+            WITH asgs AS (
+              SELECT s_suppkey AS sk,
+                     'arn:aws:autoscaling:us-east-1:' || lpad(CAST(s_nationkey AS VARCHAR), 12, '0') || ':autoScalingGroup:asg-' || CAST(s_suppkey AS VARCHAR) AS asg_arn
+              FROM supplier WHERE s_suppkey % 6 = 3
+            ),
+            m AS (
+              SELECT 'i-' || CAST(sk AS VARCHAR) AS instance_id, asg_arn FROM asgs
+              UNION ALL
+              SELECT 'i-' || CAST((sk + 3) % (SELECT count(*) FROM supplier) AS VARCHAR), asg_arn FROM asgs
+            )
+            SELECT DISTINCT instance_id, asg_arn FROM m
+        """,
+        "kg_asg_exposure": exposure_legs + """
+            , asgs AS (
+              SELECT s_suppkey AS sk,
+                     'arn:aws:autoscaling:us-east-1:' || lpad(CAST(s_nationkey AS VARCHAR), 12, '0') || ':autoScalingGroup:asg-' || CAST(s_suppkey AS VARCHAR) AS asg_arn
+              FROM supplier WHERE s_suppkey % 6 = 3
+            ),
+            members AS (
+              SELECT 'i-' || CAST(sk AS VARCHAR) AS instance_id, asg_arn FROM asgs
+              UNION ALL
+              SELECT 'i-' || CAST((sk + 3) % (SELECT count(*) FROM supplier) AS VARCHAR), asg_arn FROM asgs
+            )
+            SELECT m.asg_arn,
+                   string_agg(etype, ',' ORDER BY etype) AS exposure_types
+            FROM (SELECT DISTINCT m.asg_arn, l.etype
+                  FROM members m JOIN legs l ON m.instance_id = l.instance_id) m
+            GROUP BY m.asg_arn
         """,
         "kg_okta_apps": """
             SELECT 'og-n-' || CAST(s_nationkey AS VARCHAR) AS group_id,

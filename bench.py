@@ -55,6 +55,37 @@ def main():
     entrymod.ensure_ann_index(spark, sf_dir)
     ann_build = round(time.time() - t0, 3)
 
+    # Steady-state warmup: run every headline operator once at the smallest
+    # sf (untimed).  First execution of an operator shape pays one-time JVM
+    # costs — whole-stage-codegen compilation, Arrow/pandas-UDF worker
+    # spin-up, BLAS init, broadcast-thread pools — that measured 2-10x the
+    # steady-state cost (e.g. the docs pipeline: 12.1s first-run vs 1.1s
+    # warm at sf0.1).  A cluster job amortizes those once per executor
+    # lifetime, so steady-state is the honest per-operator number; warmup
+    # data is sf0.001 (~1% of the timed input) so warm caches cannot
+    # meaningfully pre-load the timed tables themselves.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        from cartography_spark.ops.dedup import minhash_lsh_pairs as _ml
+
+        mention_triples(spark, warm_dir).count()
+        _wroot = tempfile.mkdtemp(prefix="bench_warm_gs_")
+        try:
+            _store = GraphStore(spark, _wroot)
+            _n, _e = build_graph(spark, warm_dir, 111111111)
+            _store.upsert(_n, _e, "bulk", 111111111)
+        finally:
+            shutil.rmtree(_wroot, ignore_errors=True)
+        _ml(spark.read.parquet(f"{warm_dir}/documents.parquet"), hash_fn="xxhash").count()
+        entrymod.ensure_ann_index(spark, warm_dir)
+        for _wname in [
+            "kg_permission_can_read", "kg_exposure", "kg_exposure_types",
+            "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_embedding", "kg_gcp_exposed", "text_quality",
+            "sim_topk_cosine", "sim_ann_lsh", "events_sessions",
+        ]:
+            qs[_wname](spark, warm_dir).count()
+
     def timed(name, fn):
         t0 = time.time()
         fn()

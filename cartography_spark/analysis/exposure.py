@@ -207,6 +207,33 @@ def exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asg_exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement 7: exposed instances propagate their distinct exposure
+    types to their AutoScalingGroup through MEMBER_AUTO_SCALE_GROUP.
+    Output: asg_arn, exposure_types (comma-joined sorted distinct union of
+    member types)."""
+    from cartography_spark.sources.fixtures import ec2_asgs
+
+    members = ec2_asgs(spark, sf_dir).select(
+        "asg_arn",
+        F.explode(F.array("member_instance_1", "member_instance_2")).alias(
+            "instance_id"
+        ),
+    )
+    inst_types = exposure_types(spark, sf_dir).select(
+        "instance_id", F.explode(F.split("exposure_types", ",")).alias("etype")
+    )
+    return (
+        members.join(inst_types, ["instance_id"], "inner")
+        .groupBy("asg_arn")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("etype")), ",").alias(
+                "exposure_types"
+            )
+        )
+    )
+
+
 def _set_type_list(nodes: DataFrame, marks: DataFrame) -> DataFrame:
     """Rebuild exposed_internet / exposed_internet_type on a label slice from
     a (id, exposure_types) mark set.  Unmarked nodes lose any stale mark —
@@ -260,17 +287,24 @@ def mark_exposure(store, spark: SparkSession, sf_dir: str, update_tag: int) -> N
         F.col("lb_id").alias("id"), F.lit("elbv2").alias("exposure_types")
     )
 
+    asg_marks = asg_exposure_types(spark, sf_dir).select(
+        F.col("asg_arn").alias("id"), "exposure_types"
+    )
+
     out = _set_type_list(
         store.nodes(labels=["EC2Instance"]), inst_marks
     ).unionByName(
         _set_type_list(store.nodes(labels=["LoadBalancer"]), elb_marks)
     ).unionByName(
         _set_type_list(store.nodes(labels=["LoadBalancerV2"]), elbv2_marks)
+    ).unionByName(
+        # statement 7: ASGs accumulate their exposed members' type sets
+        _set_type_list(store.nodes(labels=["AutoScalingGroup"]), asg_marks)
     )
     store.commit_partial(
         out,
         None,
-        ["EC2Instance", "LoadBalancer", "LoadBalancerV2"],
+        ["EC2Instance", "LoadBalancer", "LoadBalancerV2", "AutoScalingGroup"],
         [],
         "analysis:aws_asset_exposure",
         update_tag,

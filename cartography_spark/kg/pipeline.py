@@ -18,7 +18,7 @@ from cartography_spark.kg.materialize import sync_documents
 from cartography_spark.modules import aws_iam, aws_tags, okta, permissions
 from cartography_spark.modules.aws_base import sync_accounts
 from cartography_spark.modules.aws_ec2 import sync_ec2, sync_keypairs
-from cartography_spark.modules.aws_ec2_network import sync_ec2_network
+from cartography_spark.modules.aws_ec2_network import sync_asgs, sync_ec2_network
 from cartography_spark.modules.aws_elb import sync_elb
 from cartography_spark.modules.aws_eks import sync_eks
 from cartography_spark.modules.aws_emr import sync_emr
@@ -142,6 +142,7 @@ def run_sync(
         fx.elbv2_load_balancers(spark, sf_dir),
         update_tag,
     )
+    sync_asgs(store, fx.ec2_asgs(spark, sf_dir), update_tag)
 
     # Lambda + ECR (the aws_lambda_ecr analysis joins them) and EKS (the
     # eks exposure analysis marks them)

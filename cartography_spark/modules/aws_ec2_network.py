@@ -122,3 +122,82 @@ def sync_ec2_network(
             "aws:ec2:enis",
             update_tag,
         )
+
+
+# --- AutoScalingGroups + launch configurations ------------------------------
+
+ASG_SCHEMA = NodeSchema(
+    # reference auto_scaling_groups.py:85-114: AutoScalingGroup{arn} with
+    # the account RESOURCE edge and (subnet)<-[:VPC_IDENTIFIER]-(group)
+    label="AutoScalingGroup",
+    id=PropertyRef("asg_arn"),
+    properties={"name": PropertyRef("name"), "account_id": PropertyRef("account_id")},
+    sub_resource_rel=account_resource_rel(),
+    other_rels=(
+        RelSchema(
+            target_label="EC2Subnet",
+            rel_label="VPC_IDENTIFIER",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("subnet_id")}),
+        ),
+        RelSchema(
+            target_label="LaunchConfiguration",
+            rel_label="HAS_LAUNCH_CONFIG",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("launch_config_arn")}),
+        ),
+        # (instance)-[:MEMBER_AUTO_SCALE_GROUP]->(asg), loaded from the
+        # exploded member batch (auto_scaling_groups.py:121-126)
+        RelSchema(
+            target_label="EC2Instance",
+            rel_label="MEMBER_AUTO_SCALE_GROUP",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("member_instance_id")}),
+        ),
+    ),
+)
+
+LAUNCH_CONFIG_SCHEMA = NodeSchema(
+    # reference auto_scaling_groups.py:44-63
+    label="LaunchConfiguration",
+    id=PropertyRef("launch_config_arn"),
+    properties={"account_id": PropertyRef("account_id")},
+    sub_resource_rel=account_resource_rel(),
+)
+
+
+def _explode_members(asgs: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return asgs.select(
+        "asg_arn",
+        F.explode(F.array("member_instance_1", "member_instance_2")).alias(
+            "member_instance_id"
+        ),
+    ).distinct()
+
+
+def sync_asgs(store: GraphStore, asgs: DataFrame, update_tag: int) -> None:
+    """Launch configs + ASG nodes with subnet/launch-config edges, then the
+    exploded MEMBER_AUTO_SCALE_GROUP instance edges."""
+    if not store.stage_done("aws:ec2:asgs", update_tag):
+        nodes = compile_nodes(asgs, LAUNCH_CONFIG_SCHEMA, update_tag).unionByName(
+            compile_nodes(asgs, ASG_SCHEMA, update_tag)
+        )
+        edges = compile_edges(
+            asgs,
+            ASG_SCHEMA,
+            store.nodes().unionByName(nodes),
+            update_tag,
+            selected_relationships=["RESOURCE", "VPC_IDENTIFIER", "HAS_LAUNCH_CONFIG"],
+        )
+        store.upsert(nodes, edges, "aws:ec2:asgs", update_tag)
+    if not store.stage_done("aws:ec2:asg_members", update_tag):
+        edges = compile_edges(
+            _explode_members(asgs),
+            ASG_SCHEMA,
+            store.nodes(),
+            update_tag,
+            selected_relationships=["MEMBER_AUTO_SCALE_GROUP"],
+        )
+        store.upsert(None, edges, "aws:ec2:asg_members", update_tag)

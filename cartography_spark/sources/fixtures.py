@@ -2267,3 +2267,36 @@ def gcp_dns_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return a_recs.unionByName(cnames)
+
+
+@plan_memo
+def ec2_asgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoScalingGroups (reference intel/aws/ec2/auto_scaling_groups.py:
+    85-131: AutoScalingGroup{arn} under the account RESOURCE edge,
+    (instance)-[:MEMBER_AUTO_SCALE_GROUP]->(asg), (asg)-[:VPC_IDENTIFIER]->
+    (subnet), LaunchConfiguration{id: arn}).  ASG per supplier s%6==3 with
+    two member instances.
+    Columns: asg_arn, name, account_id, launch_config_arn, subnet_id,
+    member_instance_1, member_instance_2."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 6) == 3)
+    n_parts = read_table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_part"))
+    n_supp = read_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n_supp"))
+    s = s.crossJoin(F.broadcast(n_parts)).crossJoin(F.broadcast(n_supp))
+    sk = F.col("s_suppkey")
+    sub = (sk * 10) % F.col("n_part")
+    acct = _acct(F.col("s_nationkey"))
+    return s.select(
+        F.concat(
+            F.lit("arn:aws:autoscaling:us-east-1:"), acct,
+            F.lit(":autoScalingGroup:asg-"), sk.cast("string"),
+        ).alias("asg_arn"),
+        F.concat(F.lit("asg-"), sk.cast("string")).alias("name"),
+        acct.alias("account_id"),
+        F.concat(
+            F.lit("arn:aws:autoscaling:us-east-1:"), acct,
+            F.lit(":launchConfiguration:lc-"), sk.cast("string"),
+        ).alias("launch_config_arn"),
+        F.concat(F.lit("subnet-"), (sub - (sub % 10)).cast("string")).alias("subnet_id"),
+        F.concat(F.lit("i-"), sk.cast("string")).alias("member_instance_1"),
+        F.concat(F.lit("i-"), ((sk + 3) % F.col("n_supp")).cast("string")).alias("member_instance_2"),
+    )

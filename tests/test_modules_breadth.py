@@ -657,11 +657,17 @@ def test_ec2_network_and_elb_graph_shape(spark, store):
         fx.elbv2_load_balancers(spark, SF),
         T1,
     )
+    from cartography_spark.modules.aws_ec2_network import sync_asgs
+
+    sync_asgs(store, fx.ec2_asgs(spark, SF), T1)
     labels = {r[0] for r in store.nodes().select("label").distinct().collect()}
     assert {
         "AWSVpc", "EC2Subnet", "NetworkInterface",
         "LoadBalancer", "LoadBalancerV2", "ELBListener", "ELBV2Listener",
+        "AutoScalingGroup", "LaunchConfiguration",
     } <= labels
+    assert len(check_rels(store, "EC2Instance", "MEMBER_AUTO_SCALE_GROUP", "AutoScalingGroup")) > 0
+    assert len(check_rels(store, "AutoScalingGroup", "HAS_LAUNCH_CONFIG", "LaunchConfiguration")) > 0
 
     # subnet -> vpc
     assert len(check_rels(store, "EC2Subnet", "MEMBER_OF_AWS_VPC", "AWSVpc")) > 0
