@@ -454,6 +454,100 @@ def _q_kg_asg_exposure(spark, sf_dir):
     return asg_exposure_types(spark, sf_dir)
 
 
+def _q_kg_ebs_attachments(spark, sf_dir):
+    """(EBSVolume)-[:ATTACHED_TO]->(EC2Instance) (reference
+    models/aws/ec2/volumes.py:58-63)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_INSTANCE_SCHEMA
+    from cartography_spark.modules.aws_ec2_storage import VOLUME_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    inst = compile_nodes(fx.ec2_instances(spark, sf_dir), EC2_INSTANCE_SCHEMA, T1)
+    edges = compile_edges(
+        fx.ebs_volumes(spark, sf_dir),
+        VOLUME_SCHEMA,
+        inst,
+        T1,
+        selected_relationships=["ATTACHED_TO"],
+    )
+    return edges.select(
+        F.col("src_id").alias("volume_id"), F.col("dst_id").alias("instance_id")
+    )
+
+
+def _q_kg_ebs_snapshots(spark, sf_dir):
+    """(EBSSnapshot)-[:CREATED_FROM]->(EBSVolume) (reference
+    intel/aws/ec2/snapshots.py:98-113)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2_storage import SNAPSHOT_SCHEMA, VOLUME_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    vols = compile_nodes(fx.ebs_volumes(spark, sf_dir), VOLUME_SCHEMA, T1)
+    edges = compile_edges(
+        fx.ebs_snapshots(spark, sf_dir),
+        SNAPSHOT_SCHEMA,
+        vols,
+        T1,
+        selected_relationships=["CREATED_FROM"],
+    )
+    return edges.select(
+        F.col("src_id").alias("snapshot_id"), F.col("dst_id").alias("volume_id")
+    )
+
+
+def _q_kg_elastic_ips(spark, sf_dir):
+    """(EC2Instance|NetworkInterface)-[:ELASTIC_IP_ADDRESS]->(eip) — the ENI
+    leg exists only where an ENI does (reference
+    elastic_ip_addresses.py:62-68 conditional MERGE)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_INSTANCE_SCHEMA
+    from cartography_spark.modules.aws_ec2_network import ENI_SCHEMA
+    from cartography_spark.modules.aws_ec2_storage import EIP_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    targets = compile_nodes(
+        fx.ec2_instances(spark, sf_dir), EC2_INSTANCE_SCHEMA, T1
+    ).unionByName(
+        compile_nodes(fx.ec2_network_interfaces(spark, sf_dir), ENI_SCHEMA, T1)
+    )
+    edges = compile_edges(
+        fx.elastic_ips(spark, sf_dir),
+        EIP_SCHEMA,
+        targets,
+        T1,
+        selected_relationships=["ELASTIC_IP_ADDRESS"],
+    )
+    return edges.select(
+        F.col("src_id"), F.col("src_label"), F.col("dst_id").alias("public_ip")
+    )
+
+
+def _q_kg_config_inventory(spark, sf_dir):
+    """SecurityHub / AWSConfigurationRecorder / AWSConfigRule inventory rows
+    (reference intel/aws/securityhub.py + config.py)."""
+    from cartography_spark.core.loader import compile_nodes
+    from cartography_spark.modules.aws_config_securityhub import (
+        CONFIG_RECORDER_SCHEMA,
+        CONFIG_RULE_SCHEMA,
+        SECURITYHUB_SCHEMA,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    cfg = fx.config_recorders_rules(spark, sf_dir)
+    nodes = compile_nodes(
+        fx.securityhub_hubs(spark, sf_dir), SECURITYHUB_SCHEMA, T1
+    ).unionByName(
+        compile_nodes(cfg.where(F.col("kind") == "recorder"), CONFIG_RECORDER_SCHEMA, T1)
+    ).unionByName(
+        compile_nodes(cfg.where(F.col("kind") == "rule"), CONFIG_RULE_SCHEMA, T1)
+    )
+    return nodes.select(
+        F.col("id").alias("node_id"),
+        "label",
+        F.element_at("props", "account_id").alias("account_id"),
+    )
+
+
 def _q_kg_okta_apps(spark, sf_dir):
     """(OktaGroup)-[:APPLICATION]->(OktaApplication) assignments through the
     schema compiler (reference okta/applications.py:336-342)."""
@@ -1704,6 +1798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gcp_buckets": _q_kg_gcp_buckets,
         "kg_gcp_dns_xprovider": _q_kg_gcp_dns_xprovider,
         "kg_asg_members": _q_kg_asg_members,
+        "kg_ebs_attachments": _q_kg_ebs_attachments,
+        "kg_ebs_snapshots": _q_kg_ebs_snapshots,
+        "kg_elastic_ips": _q_kg_elastic_ips,
+        "kg_config_inventory": _q_kg_config_inventory,
         "kg_asg_exposure": _q_kg_asg_exposure,
         "dedup_embedding": _q_dedup_embedding,
         "events_sessions_stateful": _q_events_sessions_stateful,
@@ -2763,6 +2861,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT m.asg_arn, l.etype
                   FROM members m JOIN legs l ON m.instance_id = l.instance_id) m
             GROUP BY m.asg_arn
+        """,
+        "kg_ebs_attachments": """
+            SELECT 'vol-' || CAST(s_suppkey AS VARCHAR) AS volume_id,
+                   'i-' || CAST(s_suppkey AS VARCHAR) AS instance_id
+            FROM supplier
+        """,
+        "kg_ebs_snapshots": """
+            SELECT 'snap-' || CAST(s_suppkey AS VARCHAR) AS snapshot_id,
+                   'vol-' || CAST(s_suppkey AS VARCHAR) AS volume_id
+            FROM supplier WHERE s_suppkey % 4 = 0
+        """,
+        "kg_elastic_ips": """
+            WITH e AS (
+              SELECT s_suppkey AS sk,
+                     '54.0.' || CAST(s_suppkey % 250 AS VARCHAR) || '.'
+                       || CAST((s_suppkey * 3) % 250 AS VARCHAR) AS public_ip
+              FROM supplier WHERE s_suppkey % 5 = 0
+            )
+            SELECT 'i-' || CAST(sk AS VARCHAR) AS src_id, 'EC2Instance' AS src_label, public_ip FROM e
+            UNION ALL
+            SELECT 'eni-' || CAST(sk AS VARCHAR), 'NetworkInterface', public_ip FROM e WHERE sk % 2 = 1
+        """,
+        "kg_config_inventory": """
+            SELECT 'arn:aws:securityhub:us-east-1:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0') || ':hub/default' AS node_id,
+                   'SecurityHub' AS label, lpad(CAST(n_nationkey AS VARCHAR), 12, '0') AS account_id
+            FROM nation WHERE n_nationkey % 3 = 0
+            UNION ALL
+            SELECT 'default:us-east-1:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0'), 'AWSConfigurationRecorder', lpad(CAST(n_nationkey AS VARCHAR), 12, '0')
+            FROM nation
+            UNION ALL
+            SELECT 'arn:aws:config:us-east-1:' || lpad(CAST(CAST(p_partkey / 25 AS BIGINT) % 25 AS VARCHAR), 12, '0') || ':config-rule/config-rule-' || CAST(p_partkey AS VARCHAR),
+                   'AWSConfigRule', lpad(CAST(CAST(p_partkey / 25 AS BIGINT) % 25 AS VARCHAR), 12, '0')
+            FROM part WHERE p_partkey % 25 = 0
         """,
         "kg_okta_apps": """
             SELECT 'og-n-' || CAST(s_nationkey AS VARCHAR) AS group_id,

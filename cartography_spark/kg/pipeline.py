@@ -20,6 +20,8 @@ from cartography_spark.modules.aws_base import sync_accounts
 from cartography_spark.modules.aws_ec2 import sync_ec2, sync_keypairs
 from cartography_spark.modules.aws_ec2_network import sync_asgs, sync_ec2_network
 from cartography_spark.modules.aws_elb import sync_elb
+from cartography_spark.modules.aws_ec2_storage import sync_ec2_storage
+from cartography_spark.modules.aws_config_securityhub import sync_config_securityhub
 from cartography_spark.modules.aws_eks import sync_eks
 from cartography_spark.modules.aws_emr import sync_emr
 from cartography_spark.modules.aws_lambda import sync_lambda_ecr
@@ -143,6 +145,21 @@ def run_sync(
         update_tag,
     )
     sync_asgs(store, fx.ec2_asgs(spark, sf_dir), update_tag)
+    # EBS volumes/snapshots + elastic IPs (attach to instances and ENIs)
+    sync_ec2_storage(
+        store,
+        fx.ebs_volumes(spark, sf_dir),
+        fx.ebs_snapshots(spark, sf_dir),
+        fx.elastic_ips(spark, sf_dir),
+        update_tag,
+    )
+    # Security Hub + AWS Config inventories
+    sync_config_securityhub(
+        store,
+        fx.securityhub_hubs(spark, sf_dir),
+        fx.config_recorders_rules(spark, sf_dir),
+        update_tag,
+    )
 
     # Lambda + ECR (the aws_lambda_ecr analysis joins them) and EKS (the
     # eks exposure analysis marks them)

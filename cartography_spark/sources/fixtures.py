@@ -2300,3 +2300,103 @@ def ec2_asgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("i-"), sk.cast("string")).alias("member_instance_1"),
         F.concat(F.lit("i-"), ((sk + 3) % F.col("n_supp")).cast("string")).alias("member_instance_2"),
     )
+
+
+@plan_memo
+def ebs_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBS volumes, one per supplier instance (reference
+    models/aws/ec2/volumes.py: EBSVolume{id} with account RESOURCE and
+    ATTACHED_TO the instance).  Columns: volume_id, instance_id, size_gb,
+    encrypted, account_id."""
+    s = read_table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    return s.select(
+        F.concat(F.lit("vol-"), sk.cast("string")).alias("volume_id"),
+        F.concat(F.lit("i-"), sk.cast("string")).alias("instance_id"),
+        (((sk % 16) + 1) * 50).cast("long").alias("size_gb"),
+        ((sk % 3) == 0).cast("string").alias("encrypted"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def ebs_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBS snapshots for every 4th volume (reference
+    intel/aws/ec2/snapshots.py:61-113: EBSSnapshot{id} with
+    (snapshot)-[:CREATED_FROM]->(volume)).  Columns: snapshot_id,
+    volume_id, account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 4) == 0)
+    sk = F.col("s_suppkey")
+    return s.select(
+        F.concat(F.lit("snap-"), sk.cast("string")).alias("snapshot_id"),
+        F.concat(F.lit("vol-"), sk.cast("string")).alias("volume_id"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def elastic_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic IPs for every 5th instance (reference
+    intel/aws/ec2/elastic_ip_addresses.py:43-68: ElasticIPAddress{id:
+    PublicIp} with (instance)-[:ELASTIC_IP_ADDRESS]->(eip) and
+    (eni)-[:ELASTIC_IP_ADDRESS]->(eip); the ENI edge exists only for odd
+    suppliers, the ENI population).  Columns: public_ip, instance_id,
+    eni_id (nullable), account_id."""
+    s = read_table(spark, sf_dir, "supplier").where((F.col("s_suppkey") % 5) == 0)
+    sk = F.col("s_suppkey")
+    return s.select(
+        F.concat(
+            F.lit("54.0."), (sk % 250).cast("string"), F.lit("."), ((sk * 3) % 250).cast("string")
+        ).alias("public_ip"),
+        F.concat(F.lit("i-"), sk.cast("string")).alias("instance_id"),
+        F.when((sk % 2) == 1, F.concat(F.lit("eni-"), sk.cast("string"))).alias("eni_id"),
+        _acct(F.col("s_nationkey")).alias("account_id"),
+    )
+
+
+@plan_memo
+def securityhub_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SecurityHub hub per account where n%3==0 (reference
+    intel/aws/securityhub.py:43-49: SecurityHub{id: HubArn} under the
+    account RESOURCE edge).  Columns: hub_arn, subscribed_at,
+    auto_enable_controls, account_id."""
+    n = read_table(spark, sf_dir, "nation").where((F.col("n_nationkey") % 3) == 0)
+    nk = F.col("n_nationkey")
+    return n.select(
+        F.concat(
+            F.lit("arn:aws:securityhub:us-east-1:"), _acct(nk), F.lit(":hub/default")
+        ).alias("hub_arn"),
+        F.concat(F.lit("2024-01-"), F.lpad(((nk % 28) + 1).cast("string"), 2, "0")).alias("subscribed_at"),
+        ((nk % 6) == 0).cast("string").alias("auto_enable_controls"),
+        _acct(nk).alias("account_id"),
+    )
+
+
+@plan_memo
+def config_recorders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS Config recorders + rules (reference intel/aws/config.py:58-154:
+    AWSConfigurationRecorder{id} and AWSConfigRule{id: ConfigRuleArn}, both
+    under account RESOURCE).  One recorder per account; rules per part
+    p%25==0 in account (p/25)%25.  Columns: kind ('recorder'|'rule'),
+    config_id, name, account_id."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    recorders = n.select(
+        F.lit("recorder").alias("kind"),
+        F.concat(F.lit("default:us-east-1:"), _acct(nk)).alias("config_id"),
+        F.lit("default").alias("name"),
+        _acct(nk).alias("account_id"),
+    )
+    p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 25) == 0)
+    pk = F.col("p_partkey")
+    pacct = _acct((pk / 25).cast("long") % 25)
+    rules = p.select(
+        F.lit("rule").alias("kind"),
+        F.concat(
+            F.lit("arn:aws:config:us-east-1:"), pacct,
+            F.lit(":config-rule/config-rule-"), pk.cast("string"),
+        ).alias("config_id"),
+        F.concat(F.lit("config-rule-"), pk.cast("string")).alias("name"),
+        pacct.alias("account_id"),
+    )
+    return recorders.unionByName(rules)

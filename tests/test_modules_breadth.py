@@ -859,3 +859,46 @@ def test_github_teams_and_gcp_breadth(spark, store):
     assert len(x) > 0
     for src, dst in x:
         assert src.startswith("aws-alias-") and "/A" in dst
+
+
+def test_ec2_storage_and_config_graph_shape(spark, store):
+    """EBS volumes/snapshots, elastic IPs (instance + conditional ENI legs),
+    SecurityHub + AWS Config inventories."""
+    from cartography_spark.modules.aws_ec2 import sync_ec2
+    from cartography_spark.modules.aws_ec2_network import sync_ec2_network
+    from cartography_spark.modules.aws_ec2_storage import sync_ec2_storage
+    from cartography_spark.modules.aws_config_securityhub import sync_config_securityhub
+
+    sync_accounts(store, fx.aws_accounts(spark, SF), T1)
+    sync_ec2(
+        store,
+        fx.ec2_instances(spark, SF),
+        fx.ec2_security_groups(spark, SF),
+        fx.ec2_sg_rules(spark, SF),
+        T1,
+    )
+    sync_ec2_network(
+        store, fx.ec2_vpcs(spark, SF), fx.ec2_subnets(spark, SF),
+        fx.ec2_network_interfaces(spark, SF), T1,
+    )
+    sync_ec2_storage(
+        store, fx.ebs_volumes(spark, SF), fx.ebs_snapshots(spark, SF),
+        fx.elastic_ips(spark, SF), T1,
+    )
+    sync_config_securityhub(
+        store, fx.securityhub_hubs(spark, SF), fx.config_recorders_rules(spark, SF), T1
+    )
+    labels = {r[0] for r in store.nodes().select("label").distinct().collect()}
+    assert {
+        "EBSVolume", "EBSSnapshot", "ElasticIPAddress",
+        "SecurityHub", "AWSConfigurationRecorder", "AWSConfigRule",
+    } <= labels
+    assert len(check_rels(store, "EBSVolume", "ATTACHED_TO", "EC2Instance")) > 0
+    assert len(check_rels(store, "EBSSnapshot", "CREATED_FROM", "EBSVolume")) > 0
+    inst_eips = check_rels(store, "EC2Instance", "ELASTIC_IP_ADDRESS", "ElasticIPAddress")
+    eni_eips = check_rels(store, "NetworkInterface", "ELASTIC_IP_ADDRESS", "ElasticIPAddress")
+    assert len(inst_eips) > 0 and len(eni_eips) > 0
+    # ENI leg only where an ENI exists (odd suppliers)
+    assert len(eni_eips) < len(inst_eips)
+    assert len(check_rels(store, "AWSAccount", "RESOURCE", "SecurityHub")) > 0
+    assert len(check_rels(store, "AWSAccount", "RESOURCE", "AWSConfigRule")) > 0
