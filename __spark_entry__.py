@@ -548,6 +548,40 @@ def _q_kg_config_inventory(spark, sf_dir):
     )
 
 
+def _q_kg_cosmos_dbs(spark, sf_dir):
+    """(AzureCosmosDBAccount)-[:CONTAINS]->(sql db | mongo db) — split by the
+    account kind (reference cosmosdb.py:624-633 / 680-689)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.azure import (
+        COSMOS_ACCOUNT_SCHEMA,
+        COSMOS_MONGO_DB_SCHEMA,
+        COSMOS_SQL_DB_SCHEMA,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    accts = compile_nodes(fx.cosmosdb_accounts(spark, sf_dir), COSMOS_ACCOUNT_SCHEMA, T1)
+    dbs = fx.cosmosdb_databases(spark, sf_dir)
+    sql_dbs = dbs.where(F.col("db_kind") == "sql").select("db_id", "account_id").distinct()
+    mongo_dbs = dbs.where(F.col("db_kind") == "mongo").select("db_id", "account_id").distinct()
+    e1 = compile_edges(sql_dbs, COSMOS_SQL_DB_SCHEMA, accts, T1).withColumn(
+        "db_kind", F.lit("sql")
+    )
+    e2 = compile_edges(mongo_dbs, COSMOS_MONGO_DB_SCHEMA, accts, T1).withColumn(
+        "db_kind", F.lit("mongo")
+    )
+    return e1.unionByName(e2).select(
+        F.col("src_id").alias("account_id"), F.col("dst_id").alias("db_id"), "db_kind"
+    )
+
+
+def _q_kg_cosmos_containers(spark, sf_dir):
+    """(db)-[:CONTAINS]->(container|collection) rows with the CONTAINS-chain
+    kind (reference cosmosdb.py:805-820 / 1012-1023)."""
+    from cartography_spark.sources import fixtures as fx
+
+    return fx.cosmosdb_databases(spark, sf_dir).select("db_id", "container_id", "db_kind")
+
+
 def _q_kg_okta_apps(spark, sf_dir):
     """(OktaGroup)-[:APPLICATION]->(OktaApplication) assignments through the
     schema compiler (reference okta/applications.py:336-342)."""
@@ -1802,6 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ebs_snapshots": _q_kg_ebs_snapshots,
         "kg_elastic_ips": _q_kg_elastic_ips,
         "kg_config_inventory": _q_kg_config_inventory,
+        "kg_cosmos_dbs": _q_kg_cosmos_dbs,
+        "kg_cosmos_containers": _q_kg_cosmos_containers,
         "kg_asg_exposure": _q_kg_asg_exposure,
         "dedup_embedding": _q_dedup_embedding,
         "events_sessions_stateful": _q_events_sessions_stateful,
@@ -2861,6 +2897,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT m.asg_arn, l.etype
                   FROM members m JOIN legs l ON m.instance_id = l.instance_id) m
             GROUP BY m.asg_arn
+        """,
+        "kg_cosmos_dbs": """
+            WITH a AS (
+              SELECT '/subscriptions/sub-' || CAST(n_nationkey % 5 AS VARCHAR) || '/resourceGroups/rg-' || CAST(n_nationkey AS VARCHAR) || '/providers/Microsoft.DocumentDB/databaseAccounts/cosmos-' || CAST(n_nationkey AS VARCHAR) AS account_id,
+                     CASE WHEN n_nationkey % 4 = 0 THEN 'mongo' ELSE 'sql' END AS db_kind
+              FROM nation WHERE n_nationkey % 2 = 0
+            )
+            SELECT account_id, account_id || '/dbs/db0' AS db_id, db_kind FROM a
+            UNION ALL
+            SELECT account_id, account_id || '/dbs/db1', db_kind FROM a
+        """,
+        "kg_cosmos_containers": """
+            WITH a AS (
+              SELECT '/subscriptions/sub-' || CAST(n_nationkey % 5 AS VARCHAR) || '/resourceGroups/rg-' || CAST(n_nationkey AS VARCHAR) || '/providers/Microsoft.DocumentDB/databaseAccounts/cosmos-' || CAST(n_nationkey AS VARCHAR) AS account_id,
+                     CASE WHEN n_nationkey % 4 = 0 THEN 'mongo' ELSE 'sql' END AS db_kind
+              FROM nation WHERE n_nationkey % 2 = 0
+            ),
+            d AS (
+              SELECT account_id || '/dbs/db0' AS db_id, db_kind FROM a
+              UNION ALL SELECT account_id || '/dbs/db1', db_kind FROM a
+            )
+            SELECT db_id, db_id || '/colls/c0' AS container_id, db_kind FROM d
+            UNION ALL
+            SELECT db_id, db_id || '/colls/c1', db_kind FROM d
         """,
         "kg_ebs_attachments": """
             SELECT 'vol-' || CAST(s_suppkey AS VARCHAR) AS volume_id,

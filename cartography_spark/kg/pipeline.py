@@ -41,7 +41,7 @@ from cartography_spark.modules.aws_inventory import (
     sync_secretsmanager,
     sync_sqs,
 )
-from cartography_spark.modules.azure import sync_azure, sync_azure_storage_sql
+from cartography_spark.modules.azure import sync_azure, sync_azure_storage_sql, sync_cosmosdb
 from cartography_spark.modules.digitalocean import sync_digitalocean
 from cartography_spark.modules.devices import sync_devices
 from cartography_spark.modules.gcp import sync_gcp, sync_gcp_storage_dns
@@ -221,6 +221,12 @@ def run_sync(
         store,
         fx.azure_subscriptions(spark, sf_dir),
         fx.azure_vms(spark, sf_dir),
+        update_tag,
+    )
+    sync_cosmosdb(
+        store,
+        fx.cosmosdb_accounts(spark, sf_dir),
+        fx.cosmosdb_databases(spark, sf_dir),
         update_tag,
     )
     sync_azure_storage_sql(

@@ -167,3 +167,142 @@ def sync_azure_storage_sql(
     for f in edge_frames[1:]:
         edges = edges.unionByName(f)
     store.upsert(nodes, edges, "azure:storage_sql", update_tag)
+
+
+# --- round-3 depth: CosmosDB ------------------------------------------------
+
+COSMOS_ACCOUNT_SCHEMA = NodeSchema(
+    # reference intel/azure/cosmosdb.py:85-112
+    label="AzureCosmosDBAccount",
+    id=PropertyRef("account_id"),
+    properties={"name": PropertyRef("name"), "kind": PropertyRef("kind")},
+    sub_resource_rel=RelSchema(
+        target_label="AzureSubscription",
+        rel_label="RESOURCE",
+        direction=LinkDirection.INWARD,
+        matcher=TargetNodeMatcher({"id": PropertyRef("subscription_id")}),
+    ),
+    other_rels=(
+        # (account)-[:CAN_WRITE_FROM]->(loc) / CAN_READ_FROM — the location
+        # nodes use the reference's "{account_id}-{location}" id grammar
+        # (cosmosdb.py:156-202)
+        RelSchema(
+            target_label="AzureCosmosDBLocation",
+            rel_label="CAN_WRITE_FROM",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("write_loc")}),
+        ),
+        RelSchema(
+            target_label="AzureCosmosDBLocation",
+            rel_label="CAN_READ_FROM",
+            direction=LinkDirection.OUTWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("read_loc")}),
+        ),
+    ),
+)
+
+COSMOS_WRITE_LOC_SCHEMA = NodeSchema(
+    label="AzureCosmosDBLocation", id=PropertyRef("write_loc")
+)
+COSMOS_READ_LOC_SCHEMA = NodeSchema(
+    label="AzureCosmosDBLocation", id=PropertyRef("read_loc")
+)
+
+COSMOS_SQL_DB_SCHEMA = NodeSchema(
+    # cosmosdb.py:624-633: (account)-[:CONTAINS]->(sqldb)
+    label="AzureCosmosDBSqlDatabase",
+    id=PropertyRef("db_id"),
+    other_rels=(
+        RelSchema(
+            target_label="AzureCosmosDBAccount",
+            rel_label="CONTAINS",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("account_id")}),
+        ),
+    ),
+)
+
+COSMOS_MONGO_DB_SCHEMA = NodeSchema(
+    # cosmosdb.py:680-689
+    label="AzureCosmosDBMongoDBDatabase",
+    id=PropertyRef("db_id"),
+    other_rels=(
+        RelSchema(
+            target_label="AzureCosmosDBAccount",
+            rel_label="CONTAINS",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("account_id")}),
+        ),
+    ),
+)
+
+COSMOS_SQL_CONTAINER_SCHEMA = NodeSchema(
+    # cosmosdb.py:805-820: (sqldb)-[:CONTAINS]->(container)
+    label="AzureCosmosDBSqlContainer",
+    id=PropertyRef("container_id"),
+    other_rels=(
+        RelSchema(
+            target_label="AzureCosmosDBSqlDatabase",
+            rel_label="CONTAINS",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("db_id")}),
+        ),
+    ),
+)
+
+COSMOS_MONGO_COLLECTION_SCHEMA = NodeSchema(
+    # cosmosdb.py:1012-1023
+    label="AzureCosmosDBMongoDBCollection",
+    id=PropertyRef("container_id"),
+    other_rels=(
+        RelSchema(
+            target_label="AzureCosmosDBMongoDBDatabase",
+            rel_label="CONTAINS",
+            direction=LinkDirection.INWARD,
+            matcher=TargetNodeMatcher({"id": PropertyRef("db_id")}),
+        ),
+    ),
+)
+
+
+def sync_cosmosdb(
+    store: GraphStore,
+    accounts: DataFrame,
+    databases: DataFrame,
+    update_tag: int,
+) -> None:
+    """Accounts + location nodes first, then databases (split by account
+    kind into SQL / Mongo families), then containers/collections — the
+    reference's CONTAINS chain order (cosmosdb.py sync_database_account →
+    sql_databases → containers)."""
+    from pyspark.sql import functions as F
+
+    if not store.stage_done("azure:cosmosdb:accounts", update_tag):
+        nodes = (
+            compile_nodes(accounts, COSMOS_ACCOUNT_SCHEMA, update_tag)
+            .unionByName(compile_nodes(accounts, COSMOS_WRITE_LOC_SCHEMA, update_tag))
+            .unionByName(compile_nodes(accounts, COSMOS_READ_LOC_SCHEMA, update_tag))
+        )
+        edges = compile_edges(
+            accounts, COSMOS_ACCOUNT_SCHEMA, store.nodes().unionByName(nodes), update_tag
+        )
+        store.upsert(nodes, edges, "azure:cosmosdb:accounts", update_tag)
+    if not store.stage_done("azure:cosmosdb:databases", update_tag):
+        sql = databases.where(F.col("db_kind") == "sql")
+        mongo = databases.where(F.col("db_kind") == "mongo")
+        sql_dbs = sql.select("db_id", "account_id").distinct()
+        mongo_dbs = mongo.select("db_id", "account_id").distinct()
+        nodes = (
+            compile_nodes(sql_dbs, COSMOS_SQL_DB_SCHEMA, update_tag, dedupe=False)
+            .unionByName(compile_nodes(mongo_dbs, COSMOS_MONGO_DB_SCHEMA, update_tag, dedupe=False))
+            .unionByName(compile_nodes(sql, COSMOS_SQL_CONTAINER_SCHEMA, update_tag, dedupe=False))
+            .unionByName(compile_nodes(mongo, COSMOS_MONGO_COLLECTION_SCHEMA, update_tag, dedupe=False))
+        )
+        live = store.nodes().unionByName(nodes)
+        edges = (
+            compile_edges(sql_dbs, COSMOS_SQL_DB_SCHEMA, live, update_tag)
+            .unionByName(compile_edges(mongo_dbs, COSMOS_MONGO_DB_SCHEMA, live, update_tag))
+            .unionByName(compile_edges(sql, COSMOS_SQL_CONTAINER_SCHEMA, live, update_tag))
+            .unionByName(compile_edges(mongo, COSMOS_MONGO_COLLECTION_SCHEMA, live, update_tag))
+        )
+        store.upsert(nodes, edges, "azure:cosmosdb:databases", update_tag)

@@ -2400,3 +2400,61 @@ def config_recorders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pacct.alias("account_id"),
     )
     return recorders.unionByName(rules)
+
+
+@plan_memo
+def cosmosdb_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CosmosDB accounts from nation n%2==0 (reference
+    intel/azure/cosmosdb.py:85-112: AzureCosmosDBAccount{id} under the
+    subscription RESOURCE edge).  The write/read/associated location ids
+    follow the reference's "{account_id}-{location}" grammar
+    (cosmosdb.py:119-143 _generate_location_id).
+    Columns: account_id, name, kind, subscription_id, write_loc, read_loc."""
+    n = read_table(spark, sf_dir, "nation").where((F.col("n_nationkey") % 2) == 0)
+    nk = F.col("n_nationkey")
+    aid = F.concat(
+        F.lit("/subscriptions/sub-"), (nk % 5).cast("string"),
+        F.lit("/resourceGroups/rg-"), nk.cast("string"),
+        F.lit("/providers/Microsoft.DocumentDB/databaseAccounts/cosmos-"), nk.cast("string"),
+    )
+    region_w = F.concat(F.lit("region-"), (nk % 3).cast("string"))
+    region_r = F.concat(F.lit("region-"), ((nk + 1) % 3).cast("string"))
+    return n.select(
+        aid.alias("account_id"),
+        F.concat(F.lit("cosmos-"), nk.cast("string")).alias("name"),
+        F.when((nk % 4) == 0, F.lit("MongoDB")).otherwise(F.lit("GlobalDocumentDB")).alias("kind"),
+        F.concat(F.lit("sub-"), (nk % 5).cast("string")).alias("subscription_id"),
+        F.concat(aid, F.lit("-"), region_w).alias("write_loc"),
+        F.concat(aid, F.lit("-"), region_r).alias("read_loc"),
+    )
+
+
+@plan_memo
+def cosmosdb_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL databases + containers per GlobalDocumentDB account; Mongo
+    databases + collections per MongoDB account (reference
+    cosmosdb.py:624-633, 805-820, 680-689, 1012-1023 — all CONTAINS
+    chains).  Two databases per account, two containers per database.
+    Columns: db_id, db_kind ('sql'|'mongo'), account_id, container_id."""
+    acct = cosmosdb_accounts(spark, sf_dir)
+    d = acct.select(
+        "account_id",
+        F.when(F.col("kind") == "MongoDB", F.lit("mongo")).otherwise(F.lit("sql")).alias("db_kind"),
+        F.explode(F.array(F.lit("db0"), F.lit("db1"))).alias("db_suffix"),
+    ).select(
+        F.concat(F.col("account_id"), F.lit("/dbs/"), F.col("db_suffix")).alias("db_id"),
+        "db_kind",
+        "account_id",
+        "db_suffix",
+    )
+    return d.select(
+        "db_id",
+        "db_kind",
+        "account_id",
+        F.explode(
+            F.array(
+                F.concat(F.col("db_id"), F.lit("/colls/c0")),
+                F.concat(F.col("db_id"), F.lit("/colls/c1")),
+            )
+        ).alias("container_id"),
+    )

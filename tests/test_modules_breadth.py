@@ -902,3 +902,31 @@ def test_ec2_storage_and_config_graph_shape(spark, store):
     assert len(eni_eips) < len(inst_eips)
     assert len(check_rels(store, "AWSAccount", "RESOURCE", "SecurityHub")) > 0
     assert len(check_rels(store, "AWSAccount", "RESOURCE", "AWSConfigRule")) > 0
+
+
+def test_cosmosdb_graph_shape(spark, store):
+    """Azure CosmosDB depth: account under subscription, location
+    read/write edges, and the CONTAINS chains for both SQL and Mongo
+    families (reference intel/azure/cosmosdb.py)."""
+    from cartography_spark.modules.azure import sync_azure, sync_cosmosdb
+
+    sync_azure(store, fx.azure_subscriptions(spark, SF), fx.azure_vms(spark, SF), T1)
+    sync_cosmosdb(
+        store, fx.cosmosdb_accounts(spark, SF), fx.cosmosdb_databases(spark, SF), T1
+    )
+    labels = {r[0] for r in store.nodes().select("label").distinct().collect()}
+    assert {
+        "AzureCosmosDBAccount", "AzureCosmosDBLocation",
+        "AzureCosmosDBSqlDatabase", "AzureCosmosDBSqlContainer",
+        "AzureCosmosDBMongoDBDatabase", "AzureCosmosDBMongoDBCollection",
+    } <= labels
+    assert len(check_rels(store, "AzureSubscription", "RESOURCE", "AzureCosmosDBAccount")) > 0
+    assert len(check_rels(store, "AzureCosmosDBAccount", "CAN_WRITE_FROM", "AzureCosmosDBLocation")) > 0
+    assert len(check_rels(store, "AzureCosmosDBAccount", "CAN_READ_FROM", "AzureCosmosDBLocation")) > 0
+    sql_chain = check_rels(store, "AzureCosmosDBSqlDatabase", "CONTAINS", "AzureCosmosDBSqlContainer")
+    mongo_chain = check_rels(store, "AzureCosmosDBMongoDBDatabase", "CONTAINS", "AzureCosmosDBMongoDBCollection")
+    assert sql_chain and mongo_chain
+    # kind routing: a mongo account's dbs never land in the SQL family
+    sql_dbs = {s for s, _ in sql_chain}
+    mongo_dbs = {s for s, _ in mongo_chain}
+    assert not (sql_dbs & mongo_dbs)
