@@ -548,6 +548,48 @@ def _q_kg_config_inventory(spark, sf_dir):
     )
 
 
+def _q_kg_ec2_tail_nodes(spark, sf_dir):
+    """EC2 long-tail inventory nodes (AMI/IGW/RI/TGW/TGWA/PCX/LT/LTV) via
+    the per-kind schema compile (reference intel/aws/ec2 long tail)."""
+    from cartography_spark.core.loader import compile_nodes
+    from cartography_spark.modules.aws_ec2_tail import _KIND_SCHEMAS
+    from cartography_spark.sources import fixtures as fx
+
+    inv = fx.ec2_tail_inventory(spark, sf_dir)
+    out = None
+    for kind, schema in _KIND_SCHEMAS.items():
+        part = compile_nodes(inv.where(F.col("kind") == kind), schema, T1, dedupe=False)
+        out = part if out is None else out.unionByName(part)
+    return out.select(F.col("id").alias("node_id"), "label")
+
+
+def _q_kg_ec2_tail_edges(spark, sf_dir):
+    """The long-tail edge families: IGW/TGWA ATTACHED_TO, peering
+    REQUESTER_VPC/ACCEPTER_VPC, launch-template VERSION — compiled against
+    the batch's own node population (intra-batch attach)."""
+    from cartography_spark.core.loader import compile_edges, compile_nodes
+    from cartography_spark.modules.aws_ec2_network import VPC_SCHEMA
+    from cartography_spark.modules.aws_ec2_tail import _KIND_SCHEMAS
+    from cartography_spark.sources import fixtures as fx
+
+    inv = fx.ec2_tail_inventory(spark, sf_dir)
+    nodes = None
+    for kind, schema in _KIND_SCHEMAS.items():
+        part = compile_nodes(inv.where(F.col("kind") == kind), schema, T1, dedupe=False)
+        nodes = part if nodes is None else nodes.unionByName(part)
+    nodes = nodes.unionByName(compile_nodes(fx.ec2_vpcs(spark, sf_dir), VPC_SCHEMA, T1))
+    out = None
+    for kind in ("igw", "tgwa", "pcx", "ltv"):
+        schema = _KIND_SCHEMAS[kind]
+        rels = [r.rel_label for r in schema.other_rels]
+        part = compile_edges(
+            inv.where(F.col("kind") == kind), schema, nodes, T1,
+            selected_relationships=rels,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("src_id", "rel_label", "dst_id")
+
+
 def _q_kg_cosmos_dbs(spark, sf_dir):
     """(AzureCosmosDBAccount)-[:CONTAINS]->(sql db | mongo db) — split by the
     account kind (reference cosmosdb.py:624-633 / 680-689)."""
@@ -1836,6 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ebs_snapshots": _q_kg_ebs_snapshots,
         "kg_elastic_ips": _q_kg_elastic_ips,
         "kg_config_inventory": _q_kg_config_inventory,
+        "kg_ec2_tail_nodes": _q_kg_ec2_tail_nodes,
+        "kg_ec2_tail_edges": _q_kg_ec2_tail_edges,
         "kg_cosmos_dbs": _q_kg_cosmos_dbs,
         "kg_cosmos_containers": _q_kg_cosmos_containers,
         "kg_asg_exposure": _q_kg_asg_exposure,
@@ -2897,6 +2941,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT m.asg_arn, l.etype
                   FROM members m JOIN legs l ON m.instance_id = l.instance_id) m
             GROUP BY m.asg_arn
+        """,
+        "kg_ec2_tail_nodes": """
+            SELECT 'igw-' || CAST(n_nationkey AS VARCHAR) AS node_id, 'AWSInternetGateway' AS label FROM nation
+            UNION ALL
+            SELECT 'arn:aws:ec2:us-east-1:' || lpad(CAST(n_nationkey AS VARCHAR), 12, '0') || ':transit-gateway/tgw-' || CAST(n_nationkey AS VARCHAR),
+                   'AWSTransitGateway' FROM nation WHERE n_nationkey % 5 = 0
+            UNION ALL
+            SELECT 'tgw-attach-' || CAST(n_nationkey AS VARCHAR), 'AWSTransitGatewayAttachment' FROM nation
+            UNION ALL
+            SELECT 'pcx-' || CAST(n_nationkey AS VARCHAR), 'AWSPeeringConnection' FROM nation
+            UNION ALL
+            SELECT 'ami-' || CAST(s_suppkey AS VARCHAR), 'EC2Image' FROM supplier WHERE s_suppkey % 2 = 0
+            UNION ALL
+            SELECT 'ri-' || CAST(s_suppkey AS VARCHAR), 'EC2ReservedInstance' FROM supplier WHERE s_suppkey % 7 = 2
+            UNION ALL
+            SELECT 'lt-' || CAST(s_suppkey AS VARCHAR), 'LaunchTemplate' FROM supplier WHERE s_suppkey % 6 = 3
+            UNION ALL
+            SELECT 'lt-' || CAST(s_suppkey AS VARCHAR) || '-v1', 'LaunchTemplateVersion' FROM supplier WHERE s_suppkey % 6 = 3
+            UNION ALL
+            SELECT 'lt-' || CAST(s_suppkey AS VARCHAR) || '-v2', 'LaunchTemplateVersion' FROM supplier WHERE s_suppkey % 6 = 3
+        """,
+        "kg_ec2_tail_edges": """
+            SELECT 'igw-' || CAST(n_nationkey AS VARCHAR) AS src_id, 'ATTACHED_TO' AS rel_label,
+                   'vpc-' || CAST(n_nationkey AS VARCHAR) AS dst_id FROM nation
+            UNION ALL
+            SELECT 'tgw-attach-' || CAST(n_nationkey AS VARCHAR), 'ATTACHED_TO',
+                   'arn:aws:ec2:us-east-1:' || lpad(CAST(n_nationkey - (n_nationkey % 5) AS VARCHAR), 12, '0') || ':transit-gateway/tgw-'
+                     || CAST(n_nationkey - (n_nationkey % 5) AS VARCHAR)
+            FROM nation
+            UNION ALL
+            SELECT 'pcx-' || CAST(n_nationkey AS VARCHAR), 'REQUESTER_VPC', 'vpc-' || CAST(n_nationkey AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT 'pcx-' || CAST(n_nationkey AS VARCHAR), 'ACCEPTER_VPC', 'vpc-' || CAST((n_nationkey + 1) % 25 AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT 'lt-' || CAST(s_suppkey AS VARCHAR) || '-v1', 'VERSION', 'lt-' || CAST(s_suppkey AS VARCHAR) FROM supplier WHERE s_suppkey % 6 = 3
+            UNION ALL
+            SELECT 'lt-' || CAST(s_suppkey AS VARCHAR) || '-v2', 'VERSION', 'lt-' || CAST(s_suppkey AS VARCHAR) FROM supplier WHERE s_suppkey % 6 = 3
         """,
         "kg_cosmos_dbs": """
             WITH a AS (

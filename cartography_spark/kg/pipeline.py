@@ -22,6 +22,7 @@ from cartography_spark.modules.aws_ec2_network import sync_asgs, sync_ec2_networ
 from cartography_spark.modules.aws_elb import sync_elb
 from cartography_spark.modules.aws_ec2_storage import sync_ec2_storage
 from cartography_spark.modules.aws_config_securityhub import sync_config_securityhub
+from cartography_spark.modules.aws_ec2_tail import sync_ec2_tail
 from cartography_spark.modules.aws_eks import sync_eks
 from cartography_spark.modules.aws_emr import sync_emr
 from cartography_spark.modules.aws_lambda import sync_lambda_ecr
@@ -153,6 +154,9 @@ def run_sync(
         fx.elastic_ips(spark, sf_dir),
         update_tag,
     )
+    # EC2 long tail: AMIs, IGWs, reserved instances, TGWs, peerings,
+    # launch templates
+    sync_ec2_tail(store, fx.ec2_tail_inventory(spark, sf_dir), update_tag)
     # Security Hub + AWS Config inventories
     sync_config_securityhub(
         store,

@@ -2458,3 +2458,106 @@ def cosmosdb_databases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("container_id"),
     )
+
+
+@plan_memo
+def ec2_tail_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EC2 long-tail families in one derivation (reference
+    intel/aws/ec2/{images,internet_gateways,reserved_instances,tgw,
+    vpc_peerings,launch_templates}.py).  One row per node; edge targets ride
+    along as nullable columns.
+    Columns: kind, node_id, name, account_id, vpc_id (igw/tgwa),
+    tgw_id (tgwa), requester_vpc, accepter_vpc (pcx),
+    template_id (ltv)."""
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    nulls = [
+        F.lit(None).cast("string").alias(c)
+        for c in ["vpc_id", "tgw_id", "requester_vpc", "accepter_vpc", "template_id"]
+    ]
+
+    igws = n.select(
+        F.lit("igw").alias("kind"),
+        F.concat(F.lit("igw-"), nk.cast("string")).alias("node_id"),
+        F.concat(F.lit("igw-"), nk.cast("string")).alias("name"),
+        _acct(nk).alias("account_id"),
+        F.concat(F.lit("vpc-"), nk.cast("string")).alias("vpc_id"),
+        *nulls[1:],
+    )
+    tgws = n.where((nk % 5) == 0).select(
+        F.lit("tgw").alias("kind"),
+        F.concat(
+            F.lit("arn:aws:ec2:us-east-1:"), _acct(nk), F.lit(":transit-gateway/tgw-"), nk.cast("string")
+        ).alias("node_id"),
+        F.concat(F.lit("tgw-"), nk.cast("string")).alias("name"),
+        _acct(nk).alias("account_id"),
+        *nulls,
+    )
+    region_tgw = (nk - (nk % 5))
+    tgwas = n.select(
+        F.lit("tgwa").alias("kind"),
+        F.concat(F.lit("tgw-attach-"), nk.cast("string")).alias("node_id"),
+        F.concat(F.lit("tgw-attach-"), nk.cast("string")).alias("name"),
+        _acct(nk).alias("account_id"),
+        F.concat(F.lit("vpc-"), nk.cast("string")).alias("vpc_id"),
+        F.concat(
+            F.lit("arn:aws:ec2:us-east-1:"), _acct(region_tgw),
+            F.lit(":transit-gateway/tgw-"), region_tgw.cast("string"),
+        ).alias("tgw_id"),
+        *nulls[2:],
+    )
+    pcxs = n.select(
+        F.lit("pcx").alias("kind"),
+        F.concat(F.lit("pcx-"), nk.cast("string")).alias("node_id"),
+        F.concat(F.lit("pcx-"), nk.cast("string")).alias("name"),
+        _acct(nk).alias("account_id"),
+        *nulls[:2],
+        F.concat(F.lit("vpc-"), nk.cast("string")).alias("requester_vpc"),
+        F.concat(F.lit("vpc-"), ((nk + 1) % 25).cast("string")).alias("accepter_vpc"),
+        nulls[4],
+    )
+
+    s = read_table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    sacct = _acct(F.col("s_nationkey"))
+    images = s.where((sk % 2) == 0).select(
+        F.lit("image").alias("kind"),
+        F.concat(F.lit("ami-"), sk.cast("string")).alias("node_id"),
+        F.concat(F.lit("ami-"), sk.cast("string")).alias("name"),
+        sacct.alias("account_id"),
+        *nulls,
+    )
+    reserved = s.where((sk % 7) == 2).select(
+        F.lit("reserved").alias("kind"),
+        F.concat(F.lit("ri-"), sk.cast("string")).alias("node_id"),
+        F.concat(F.lit("ri-"), sk.cast("string")).alias("name"),
+        sacct.alias("account_id"),
+        *nulls,
+    )
+    lts = s.where((sk % 6) == 3).select(
+        F.lit("lt").alias("kind"),
+        F.concat(F.lit("lt-"), sk.cast("string")).alias("node_id"),
+        F.concat(F.lit("lt-"), sk.cast("string")).alias("name"),
+        sacct.alias("account_id"),
+        *nulls,
+    )
+    ltvs = (
+        s.where((sk % 6) == 3)
+        .select(
+            F.col("s_suppkey"),
+            sacct.alias("account_id"),
+            F.explode(F.array(F.lit("1"), F.lit("2"))).alias("v"),
+        )
+        .select(
+            F.lit("ltv").alias("kind"),
+            F.concat(F.lit("lt-"), F.col("s_suppkey").cast("string"), F.lit("-v"), F.col("v")).alias("node_id"),
+            F.concat(F.lit("lt-"), F.col("s_suppkey").cast("string"), F.lit(" v"), F.col("v")).alias("name"),
+            F.col("account_id"),
+            *nulls[:4],
+            F.concat(F.lit("lt-"), F.col("s_suppkey").cast("string")).alias("template_id"),
+        )
+    )
+    return (
+        igws.unionByName(tgws).unionByName(tgwas).unionByName(pcxs)
+        .unionByName(images).unionByName(reserved).unionByName(lts).unionByName(ltvs)
+    )
