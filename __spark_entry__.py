@@ -787,6 +787,39 @@ def _q_dedup_prefix(spark, sf_dir):
     return prefix_duplicates(read_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # Transitive near-dup clustering: md5 MinHash family for bit-exact
+    # oracle parity (production uses hash_fn='xxhash', same plan shape).
+    from cartography_spark.ops.dedup import duplicate_clusters
+    from cartography_spark.sources.fixtures import read_table
+
+    return duplicate_clusters(read_table(spark, sf_dir, "documents"), hash_fn="md5")
+
+
+def _q_decontaminate(spark, sf_dir):
+    # Stand-in eval suite: every 97th doc plays the benchmark corpus; the
+    # rest are the training set screened against it.
+    from cartography_spark.ops.dedup import decontaminate
+    from cartography_spark.sources.fixtures import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, k=5)
+
+
+def _q_sample_hash(spark, sf_dir):
+    # 25% global rate with English (the over-represented stratum, ~50% of
+    # the corpus) downsampled to 6.25% — Pile/ROOTS-style source weighting.
+    from cartography_spark.ops.sampling import hash_sample
+    from cartography_spark.sources.fixtures import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_sample(
+        docs, 0.25, rate_by=("lang", {"en": 0.0625})
+    ).select("doc_id", "lang", "source")
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from cartography_spark.ops.dedup import ngram_jaccard_pairs
     from cartography_spark.sources.fixtures import read_table
@@ -1854,6 +1887,9 @@ def _q_kg_oci_members(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "sample_hash": _q_sample_hash,
         "kg_lastpass_identity": _q_kg_lastpass_identity,
         "kg_semgrep_repo_cves": _q_kg_semgrep_repo_cves,
         "kg_snipeit_checkouts": _q_kg_snipeit_checkouts,
@@ -3126,6 +3162,75 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(regexp_replace(text, ' +', ' ', 'g')), ' '))), ' ')) AS shingle_fp,
                    md5(substr(text, 1, 64)) AS prefix_fp
             FROM documents
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {SQL_SHINGLES},
+            sizes_un AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
+            {_minhash_sig_sql()},
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS shared
+              FROM cands c JOIN shing a ON a.doc_id = c.doc_a
+                           JOIN shing b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN sizes_un na ON na.doc_id = s.doc_a
+              JOIN sizes_un nb ON nb.doc_id = s.doc_b
+              WHERE CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared) >= 0.5
+            ),
+            und AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+            ),
+            comp AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u),
+            assign AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   doc_id = cluster_id AS is_canonical
+            FROM assign
+        """,
+        "decontaminate": """
+            WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+            train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+            tsh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT d.doc_id, array_to_string(d.toks[g.i:g.i+4], ' ') AS shingle
+                FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS toks FROM train) d,
+                     LATERAL (SELECT unnest(generate_series(1, greatest(len(d.toks)-4, 1))) AS i) g
+              ) WHERE length(shingle) > 0
+            ),
+            bsh AS (
+              SELECT DISTINCT shingle FROM (
+                SELECT array_to_string(d.toks[g.i:g.i+4], ' ') AS shingle
+                FROM (SELECT regexp_split_to_array(lower(text), ' +') AS toks FROM bench) d,
+                     LATERAL (SELECT unnest(generate_series(1, greatest(len(d.toks)-4, 1))) AS i) g
+              ) WHERE length(shingle) > 0
+            ),
+            hits AS (SELECT doc_id, count(*) AS n_collisions FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n_collisions, 0) AS BIGINT) AS n_collisions,
+                   s.n_shingles,
+                   round(CAST(coalesce(h.n_collisions, 0) AS DOUBLE) / s.n_shingles, 4) AS contamination_ratio,
+                   round(CAST(coalesce(h.n_collisions, 0) AS DOUBLE) / s.n_shingles, 4) >= 0.2 AS contaminated
+            FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        """,
+        "sample_hash": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE WHEN lang = 'en' THEN '1000' ELSE '4000' END
         """,
         "dedup_exact": """
             SELECT doc_id,

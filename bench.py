@@ -120,8 +120,24 @@ def main():
         ),
     )
 
+    # 2c. transitive near-dup clustering, production hash family (pairs ->
+    # connected components -> canonical pick; the md5 variant is the oracle
+    # query)
+    from cartography_spark.ops.dedup import duplicate_clusters
+
+    timed(
+        "dedup_clusters_fast",
+        lambda: run_count(
+            duplicate_clusters(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"), hash_fn="xxhash"
+            )
+        ),
+    )
+
     # 3. operator headliners (count-materialized)
     for name in [
+        "decontaminate",
+        "sample_hash",
         "kg_permission_can_read",
         "kg_exposure",
         "kg_exposure_types",

@@ -357,3 +357,93 @@ def embedding_near_dup(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """Transitive near-dup clusters: LSH pairs -> connected components ->
+    canonical assignment (min doc_id per component).
+
+    Pairwise dedup under-removes: if A~B and B~C but A!~C, keeping "one of
+    each pair" can keep two of {A,B,C}.  Production pipelines therefore
+    cluster the near-dup graph and keep ONE representative per component
+    (e.g. C4, RefinedWeb).  Output, for EVERY doc (singletons included):
+    (doc_id, cluster_id, cluster_size, is_canonical) — a training pipeline
+    keeps ``is_canonical`` rows.
+
+    Scale: candidate pairs are bucket-generated (never all-pairs) and the
+    component step is the O(log n)-round large/small-star loop
+    (kg/canonicalize.py) over the near-dup EDGE LIST only — a tiny fraction
+    of corpus size.  Ids travel zero-padded so lexicographic min == numeric
+    min.  The join back to the corpus is left to AQE: components exist only
+    for docs with >=1 near-dup pair, which can be anywhere from ~0 (clean
+    corpus -> broadcast) to ~30% of 10^12 rows (raw web crawl -> sort-merge
+    on doc_id) — a hardcoded hint would be wrong at one end.
+    """
+    from cartography_spark.kg.canonicalize import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_fn=hash_fn)
+
+    def _pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 20, "0")
+
+    comps = connected_components(
+        pairs.select(_pad("doc_a").alias("src"), _pad("doc_b").alias("dst"))
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    assigned = base.join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    ratio_threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share word-k-grams
+    with an evaluation corpus (the n-gram-collision check run before any
+    training-set release; see GPT-3 appx C / PaLM-style 13-gram filters —
+    k is a parameter because the synthetic docs here are short).
+
+    Output per training doc: (doc_id, n_collisions, n_shingles,
+    contamination_ratio, contaminated).
+
+    Scale: eval suites are ~10^6-10^7 distinct n-grams — broadcast the
+    benchmark shingle set so the 10^12-doc training side never shuffles for
+    the probe; the only wide exchange is the distinct-(doc, shingle) set
+    semantics on the training side, partitioned by doc_id.
+    """
+    sh = _shingles(train, k)
+    bench_sh = _shingles(benchmark, k).select("shingle").distinct()
+    hits = (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    out = sizes.join(hits, "doc_id", "left").na.fill({"n_collisions": 0})
+    ratio = F.round(F.col("n_collisions") / F.col("n_shingles").cast("double"), 4)
+    return out.select(
+        "doc_id",
+        "n_collisions",
+        "n_shingles",
+        ratio.alias("contamination_ratio"),
+        (ratio >= ratio_threshold).alias("contaminated"),
+    )

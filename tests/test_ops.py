@@ -184,3 +184,74 @@ def test_embedding_near_dup_multiprobe_superset(spark, emb):
     r0 = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.3, probe_radius=0).collect()}
     r1 = {(r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.3).collect()}
     assert r0 <= r1
+
+
+def test_duplicate_clusters_transitive_and_total(spark, docs):
+    """Cluster assignment covers every doc, is transitive over the pair
+    graph (both ends of any pair share a cluster_id), and canonical ids are
+    the numeric min of their cluster."""
+    from cartography_spark.ops.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, hash_fn="xxhash").cache()
+    clusters = duplicate_clusters(docs, pairs=pairs).cache()
+    assert clusters.count() == docs.count()
+
+    a = clusters.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    b = clusters.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    assert joined.where(F.col("ca") != F.col("cb")).count() == 0
+
+    # cluster_id is the min doc_id of its cluster and a member of it
+    bad = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("mn")).where(
+        F.col("cluster_id") != F.col("mn")
+    )
+    assert bad.count() == 0
+    # exactly one canonical per cluster
+    per = clusters.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon")
+    )
+    assert per.where(F.col("n_canon") != 1).count() == 0
+
+
+def test_decontaminate_flags_benchmark_copies(spark, docs):
+    """A training doc that IS a benchmark doc's text (the planted exact
+    dups in the fixture corpus) must be fully contaminated; disjoint docs
+    report ratio 0 and every training doc gets a row."""
+    from cartography_spark.ops.dedup import decontaminate
+
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    out = decontaminate(train, bench, k=3).cache()
+    assert out.count() == train.count()
+    assert out.where(F.col("n_collisions") > F.col("n_shingles")).count() == 0
+
+    # plant: a train doc whose text equals some benchmark doc's text
+    dup = (
+        train.alias("t")
+        .join(bench.alias("b"), F.col("t.text") == F.col("b.text"))
+        .select(F.col("t.doc_id").alias("doc_id"))
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        row = out.where(F.col("doc_id") == dup[0].doc_id).collect()[0]
+        assert row.contamination_ratio == 1.0 and row.contaminated
+
+
+def test_hash_sample_deterministic_and_stratified(spark, docs):
+    from cartography_spark.ops.sampling import hash_sample
+
+    s1 = hash_sample(docs, 0.25)
+    s2 = hash_sample(docs.repartition(7), 0.25)
+    # identical sample under any partitioning
+    assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+    assert s1.count() == s2.count()
+    # rate=1 keeps everything; rate=0 keeps nothing
+    assert hash_sample(docs, 1.0).count() == docs.count()
+    assert hash_sample(docs, 0.0).count() == 0
+    # stratified override: the 'en' stratum of the stratified sample is a
+    # subset of the global-rate sample's 'en' stratum (threshold monotone)
+    strat = hash_sample(docs, 0.25, rate_by=("lang", {"en": 0.0625}))
+    en_strat = strat.where(F.col("lang") == "en").select("doc_id")
+    en_glob = s1.where(F.col("lang") == "en").select("doc_id")
+    assert en_strat.exceptAll(en_glob).count() == 0
