@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cartography_spark.core.loader import LabeledFrame
 from cartography_spark.core.store import GraphStore
 
 GLOBAL_ACL_URIS = (
@@ -218,8 +219,9 @@ def link_humans(
 
 def _edge_frame(df, src_label, rel_label, dst_label, update_tag):
     """Edge rows in the store layout from (src_id, dst_id) pairs; firstseen
-    NULL so the upsert MERGE preserves existing edges' firstseen."""
-    return df.select(
+    NULL so the upsert MERGE preserves existing edges' firstseen.  Labeled
+    with the rel so buffered-read views after this job stay pruned."""
+    return LabeledFrame(df.select(
         F.col("src_id"),
         F.lit(src_label).alias("src_label"),
         F.lit(rel_label).alias("rel_label"),
@@ -228,7 +230,7 @@ def _edge_frame(df, src_label, rel_label, dst_label, update_tag):
         F.lit(None).cast("map<string,string>").alias("props"),
         F.lit(None).cast("long").alias("firstseen"),
         F.lit(int(update_tag)).alias("lastupdated"),
-    ).dropDuplicates(["src_id", "rel_label", "dst_id"])
+    ).dropDuplicates(["src_id", "rel_label", "dst_id"]), [rel_label])
 
 
 def keypair_analysis(

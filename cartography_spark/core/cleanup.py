@@ -32,7 +32,7 @@ def _scoped_node_ids(
     (reference cleanupbuilder.py:107-126 builds the same MATCH pattern).
     """
     rel = schema.sub_resource_rel
-    edges = store.edges().where(F.col("rel_label") == rel.rel_label)
+    edges = store.edges(rel_labels=[rel.rel_label])
     # Sub-resource edges point (sub)-[:RESOURCE]->(asset) for INWARD
     # declarations (the common case) or the reverse for OUTWARD.
     from cartography_spark.core.model import LinkDirection
@@ -69,7 +69,7 @@ def cleanup_schema(
             f"cleanup for '{schema.label}' requires a sub_resource_rel "
             "(reference: cleanupbuilder.py:148-163 enforces the same)"
         )
-    nodes = store.nodes()
+    nodes = store.nodes(labels=[schema.label])
     scoped = _scoped_node_ids(store, schema, sub_resource_id)
 
     stale_nodes = (
@@ -114,7 +114,7 @@ def cleanup_orphans(store: GraphStore, label: str, anchor_label: str, update_tag
     data/jobs/cleanup/aws_post_ingestion_principals_cleanup.json, invoked at
     intel/aws/__init__.py:200-204).  Pure anti-join.
     """
-    nodes, edges = store.nodes(), store.edges()
+    nodes, edges = store.nodes(labels=[label]), store.edges()
     anchored = (
         edges.where(
             (F.col("src_label") == anchor_label) & (F.col("dst_label") == label)

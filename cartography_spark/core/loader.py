@@ -25,7 +25,7 @@ table schema-stable while remaining filterable via ``element_at``.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Iterable, Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,6 +68,68 @@ EDGES_SCHEMA = T.StructType(
         T.StructField("lastupdated", T.LongType(), False),
     ]
 )
+
+
+# The unified pyspark.sql.DataFrame is a constructor-dispatching facade in
+# Spark 4 (its __new__ builds a classic instance directly), so the label-
+# carrying subclass must extend the classic implementation and bypass that
+# dispatch with its own __new__.
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+
+
+class LabeledFrame(_ClassicDataFrame):
+    """DataFrame that carries the (statically known) set of node labels or
+    rel labels its rows can contain — the compiler knows them because every
+    compiled family stamps a literal label column.
+
+    The write-behind :class:`~cartography_spark.core.store.BufferedSyncStore`
+    uses this to prune its read views: a read for labels L only has to fold
+    the buffered batches whose label sets intersect L (node keys are
+    (label, id) and edge keys include rel_label, so batches with disjoint
+    label sets can never share a MERGE key).  ``unionByName`` propagates the
+    union of both sides' label sets; any other transformation returns a plain
+    DataFrame, which the buffer treats conservatively as "could contain any
+    label" — still exact, just unpruned.
+    """
+
+    def __new__(cls, df: DataFrame, labels: Iterable[str]):
+        return object.__new__(cls)
+
+    def __init__(self, df: DataFrame, labels: Iterable[str]):
+        _ClassicDataFrame.__init__(self, df._jdf, df.sparkSession)
+        self.cartography_labels = frozenset(labels)
+
+    def unionByName(self, other: DataFrame, allowMissingColumns: bool = False) -> DataFrame:
+        out = super().unionByName(other, allowMissingColumns)
+        other_labels = getattr(other, "cartography_labels", None)
+        if other_labels is None:
+            return out
+        return LabeledFrame(out, self.cartography_labels | other_labels)
+
+
+def live_view(store, *extra: DataFrame):
+    """Label-pruned view of (store nodes ∪ not-yet-upserted batches).
+
+    Modules that compile edges against targets including their OWN pending
+    node batch (self-joins like SQS DLQ, KMS alias->key) pass this instead of
+    a concrete ``store.nodes().unionByName(batch)`` frame so the per-target
+    label pruning still happens: the store read prunes to the requested
+    slices/buffer entries, and each extra batch is either statically pruned
+    away (its label set misses) or appended.
+    """
+
+    def view(labels=None):
+        out = store.nodes(labels=labels)
+        for df in extra:
+            if labels is not None:
+                known = getattr(df, "cartography_labels", None)
+                if known is not None and not (known & set(labels)):
+                    continue
+                df = df.where(F.col("label").isin(list(labels)))
+            out = out.unionByName(df)
+        return out
+
+    return view
 
 
 def _q(name: str) -> str:
@@ -165,15 +227,16 @@ def compile_nodes(
     # construction — the caller asserts uniqueness, exactly like a MERGE on
     # a unique-constrained key.
     if not dedupe:
-        return out
-    return (
+        return LabeledFrame(out, [schema.label])
+    return LabeledFrame(
         out.selectExpr(
             "*",
             "row_number() OVER (PARTITION BY id ORDER BY"
             " xxhash64(to_json(struct(props))) DESC) AS _rn",
         )
         .where("_rn = 1")
-        .drop("_rn")
+        .drop("_rn"),
+        [schema.label],
     )
 
 
@@ -216,7 +279,7 @@ def _matcher_condition(
 def compile_edges(
     batch: DataFrame,
     schema: NodeSchema,
-    existing_nodes: DataFrame,
+    existing_nodes,
     update_tag: int,
     kwargs: Mapping[str, object] | None = None,
     broadcast_targets: bool = True,
@@ -239,6 +302,14 @@ def compile_edges(
     Scale: target id spaces are dimension-sized (accounts, orgs, groups) —
     broadcast by default; for genuinely large targets pass
     ``broadcast_targets=False`` and let AQE pick the strategy.
+
+    ``existing_nodes`` is either a concrete node frame or a callable
+    ``labels -> DataFrame`` (e.g. ``store.nodes`` bound method, or
+    :func:`live_view`).  Callables are preferred: each relationship then
+    pulls ONLY its target label's slice — committed reads prune to one
+    label directory, and the buffered store's read view folds only the
+    batches that can contain that label instead of the whole write-behind
+    buffer.
     """
     kwargs = kwargs or {}
     rels = schema.all_rels()
@@ -261,7 +332,12 @@ def compile_edges(
 
     pieces: list[DataFrame] = []
     for rel in rels:
-        targets = existing_nodes.where(
+        source = (
+            existing_nodes(labels=[rel.target_label])
+            if callable(existing_nodes)
+            else existing_nodes
+        )
+        targets = source.where(
             f"label = {_sql_lit(rel.target_label)}"
         ).select("id", "label", "props")
         if broadcast_targets:
@@ -295,7 +371,10 @@ def compile_edges(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["src_id", "rel_label", "dst_id"])
+    return LabeledFrame(
+        out.dropDuplicates(["src_id", "rel_label", "dst_id"]),
+        [r.rel_label for r in rels],
+    )
 
 
 def empty_nodes(spark) -> DataFrame:

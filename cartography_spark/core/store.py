@@ -693,6 +693,10 @@ class BufferedSyncStore:
     the same ``merge_nodes``/``merge_edges`` plans the commit path uses, so
     a stage that joins against "existing" nodes (trust stubs, SAML, edge
     target matching) sees byte-identical rows to the sequential-commit path.
+    Read views are LABEL-PRUNED (see :meth:`_pending_view`): a read for
+    labels L folds only the buffered batches whose statically-declared label
+    sets (:class:`~cartography_spark.core.loader.LabeledFrame`) intersect L,
+    which keeps a ~50-stage sync linear in stage count instead of quadratic.
 
     Semantics preserved exactly:
       * Intra-group batches touching the same key compose via
@@ -716,13 +720,20 @@ class BufferedSyncStore:
 
     def __init__(self, store: GraphStore):
         self._store = store
-        # per table: a checkpointed running fold of everything pending, plus
-        # batches buffered since the last fold (incremental — each module
-        # batch plan executes exactly once, at the first read or flush after
-        # its upsert, never re-derived per read)
-        self._pend = {"nodes": {"df": None, "new": []}, "edges": {"df": None, "new": []}}
+        # per table: ordered buffered batches, each {df, labels, ckpt}.
+        # ``labels`` is the batch's statically known node-label / rel-label
+        # set (compilers stamp it via LabeledFrame; None = unknown, i.e. the
+        # batch must be assumed to contain any label).  ``ckpt`` is a lazy
+        # localCheckpoint, executed at most once — at the first read view
+        # that needs this batch — so a batch plan never re-executes per read.
+        self._pend: dict[str, list[dict]] = {"nodes": [], "edges": []}
         self._stages: list[str] = []
         self._tag: int | None = None
+        # merged-view memo keyed by (table, requested labels): repeated reads
+        # of the same slice set (every module targets AWSAccount, for one)
+        # reuse one DataFrame instead of rebuilding the merge plan per call.
+        # Invalidated on any buffer or store mutation.
+        self._view_cache: dict[tuple, object] = {}
 
     # -- buffered write -----------------------------------------------------
 
@@ -730,86 +741,145 @@ class BufferedSyncStore:
         if self._tag is not None and int(update_tag) != self._tag:
             self.flush()
         self._tag = int(update_tag)
-        if new_nodes is not None:
-            self._pend["nodes"]["new"].append(new_nodes)
-        if new_edges is not None:
-            self._pend["edges"]["new"].append(new_edges)
+        for sub, df in (("nodes", new_nodes), ("edges", new_edges)):
+            if df is not None:
+                labels = getattr(df, "cartography_labels", None)
+                self._pend[sub].append({"df": df, "labels": labels, "ckpt": None})
+                # drop only the cached views this batch can affect: full-table
+                # views always, label-scoped views when the label sets meet
+                # (an unlabeled batch can affect anything)
+                for key in list(self._view_cache):
+                    k_sub, k_labels = key
+                    if k_sub == sub and (
+                        k_labels is None or labels is None or (labels & set(k_labels))
+                    ):
+                        del self._view_cache[key]
         self._stages.append(stage)
         return self._store._current_version()
 
-    def _has_pending(self, sub: str) -> bool:
-        p = self._pend[sub]
-        return p["df"] is not None or bool(p["new"])
+    # -- pending-buffer views -------------------------------------------------
 
-    def _folded(self, sub: str, materialize: bool = False):
-        """Running fold of the pending batches for 'nodes'/'edges'.
+    @staticmethod
+    def _fold(sub: str, dfs: list):
+        if len(dfs) == 1:
+            return dfs[0]
+        if sub == "nodes":
+            return _fold_batches(
+                dfs, ["label", "id"], ["extra_labels"],
+                [f.name for f in NODES_SCHEMA.fields],
+            )
+        return _fold_batches(
+            dfs, EDGE_KEY, ["src_label", "dst_label"],
+            [f.name for f in EDGES_SCHEMA.fields],
+        )
 
-        The sequential-MERGE fold is associative — fold(fold(a,b),c) ==
-        fold(a,b,c): per-key props merge left-to-right, scalars last-wins —
-        so new batches fold INTO the previous checkpointed result rather than
-        re-folding the whole buffer.  ``materialize=True`` (the read-view
-        path) localCheckpoints the fold: module batches embed earlier read
-        views, so without a lineage cut each successive view would nest the
-        previous one and the plan would grow combinatorially.  (At cluster
-        scale the same cut would be a write to the store's staging dir —
-        reliable storage instead of executor memory; the flush's staging
-        write already is exactly that.)
+    def _pending_view(self, sub: str, labels):
+        """Fold of the buffered batches that can contain ``labels``.
+
+        MERGE keys include the label ((label, id) for nodes, (src_id,
+        rel_label, dst_id) for edges), so batches whose static label sets
+        miss the requested labels can never contribute a key — the fold over
+        the pruned, label-filtered subset is row-identical to folding the
+        whole buffer and filtering after.  This is what keeps a staged sync
+        linear in module count: each of the ~80 per-module reads folds the
+        one or two small batches carrying its target label, not the whole
+        accumulated write-behind buffer (which made the sync quadratic).
+
+        Batches are localCheckpointed on first use: module batch plans embed
+        earlier read views, so without a lineage cut plans would nest
+        combinatorially; the cut also means each batch executes exactly once.
+        (At cluster scale the cut would be a write to the staging dir —
+        reliable storage instead of executor memory.)
         """
-        p = self._pend[sub]
-        if p["new"]:
-            dfs = ([p["df"]] if p["df"] is not None else []) + p["new"]
-            if len(dfs) == 1:
-                df = dfs[0]
-            elif sub == "nodes":
-                df = _fold_batches(
-                    dfs, ["label", "id"], ["extra_labels"],
-                    [f.name for f in NODES_SCHEMA.fields],
-                )
-            else:
-                df = _fold_batches(
-                    dfs, EDGE_KEY, ["src_label", "dst_label"],
-                    [f.name for f in EDGES_SCHEMA.fields],
-                )
-            p["df"], p["new"] = df, []
-            p["materialized"] = False
-        if materialize and not p.get("materialized"):
-            p["df"] = p["df"].localCheckpoint(eager=True)
-            p["materialized"] = True
-        return p["df"]
+        want = None if labels is None else set(labels)
+        entries = [
+            e
+            for e in self._pend[sub]
+            if want is None or e["labels"] is None or (e["labels"] & want)
+        ]
+        if not entries:
+            return None
+        self._materialize(entries)
+        dfs = [e["ckpt"] for e in entries]
+        if want is not None:
+            col = "label" if sub == "nodes" else "rel_label"
+            dfs = [d.where(F.col(col).isin(list(want))) for d in dfs]
+        return self._fold(sub, dfs)
+
+    @staticmethod
+    def _materialize(entries: list) -> None:
+        """localCheckpoint every still-raw entry, concurrently when there are
+        several — each is an independent job (embedded read views reference
+        only already-checkpointed frames), so overlapping them hides per-job
+        driver latency."""
+        raw = [e for e in entries if e["ckpt"] is None]
+        if not raw:
+            return
+        if len(raw) == 1:
+            raw[0]["ckpt"] = raw[0]["df"].localCheckpoint(eager=True)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _ckpt(e):
+            e["ckpt"] = e["df"].localCheckpoint(eager=True)
+
+        with ThreadPoolExecutor(max_workers=min(16, len(raw))) as ex:
+            list(ex.map(_ckpt, raw))
 
     def flush(self) -> None:
+        self._view_cache.clear()
         if not self._stages:
             return
-        nodes = self._folded("nodes") if self._has_pending("nodes") else None
-        edges = self._folded("edges") if self._has_pending("edges") else None
+        # Materialize still-raw batches CONCURRENTLY before folding (see
+        # _materialize) — without this, ~90 module batch plans serialize
+        # through AQE's stage-at-a-time scheduling inside one giant fold
+        # action and the first flush dominates the sync.
+        self._materialize(self._pend["nodes"] + self._pend["edges"])
+        tables = {}
+        for sub in ("nodes", "edges"):
+            entries = self._pend[sub]
+            # already-checkpointed batches feed the flush from memory; never-
+            # read ones execute their plan here, exactly once
+            dfs = [e["ckpt"] if e["ckpt"] is not None else e["df"] for e in entries]
+            tables[sub] = self._fold(sub, dfs) if dfs else None
         stages, tag = self._stages, self._tag
-        self._pend = {"nodes": {"df": None, "new": []}, "edges": {"df": None, "new": []}}
+        self._pend = {"nodes": [], "edges": []}
         self._stages, self._tag = [], None
-        self._store.upsert(nodes, edges, stages, tag)
+        self._store.upsert(tables["nodes"], tables["edges"], stages, tag)
 
     # -- merged read views ----------------------------------------------------
 
     def nodes(self, version=None, labels=None):
-        if version is not None or not self._has_pending("nodes"):
+        if version is not None:
             return self._store.nodes(version, labels)
-        pending = self._folded("nodes", materialize=True)
-        if labels is not None:
-            labels = list(labels)
-            pending = pending.where(F.col("label").isin(labels))
-        return self._store.merge_nodes(
-            self._store.nodes(labels=labels), pending, self._tag
-        )
+        key = ("nodes", None if labels is None else tuple(sorted(labels)))
+        if key in self._view_cache:
+            return self._view_cache[key]
+        pending = self._pending_view("nodes", labels)
+        if pending is None:
+            view = self._store.nodes(labels=labels)
+        else:
+            view = self._store.merge_nodes(
+                self._store.nodes(labels=labels), pending, self._tag
+            )
+        self._view_cache[key] = view
+        return view
 
     def edges(self, version=None, rel_labels=None):
-        if version is not None or not self._has_pending("edges"):
+        if version is not None:
             return self._store.edges(version, rel_labels)
-        pending = self._folded("edges", materialize=True)
-        if rel_labels is not None:
-            rel_labels = list(rel_labels)
-            pending = pending.where(F.col("rel_label").isin(rel_labels))
-        return self._store.merge_edges(
-            self._store.edges(rel_labels=rel_labels), pending, self._tag
-        )
+        key = ("edges", None if rel_labels is None else tuple(sorted(rel_labels)))
+        if key in self._view_cache:
+            return self._view_cache[key]
+        pending = self._pending_view("edges", rel_labels)
+        if pending is None:
+            view = self._store.edges(rel_labels=rel_labels)
+        else:
+            view = self._store.merge_edges(
+                self._store.edges(rel_labels=rel_labels), pending, self._tag
+            )
+        self._view_cache[key] = view
+        return view
 
     # -- flush-through everything else ----------------------------------------
 
@@ -820,6 +890,11 @@ class BufferedSyncStore:
 
         def flushing(*args, **kwargs):
             self.flush()
-            return target(*args, **kwargs)
+            try:
+                return target(*args, **kwargs)
+            finally:
+                # the wrapped call may publish a new snapshot (delete /
+                # commit_partial): committed-only cached views would go stale
+                self._view_cache.clear()
 
         return flushing

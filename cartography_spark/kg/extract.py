@@ -106,6 +106,15 @@ def detect_mentions_arrow(spans: DataFrame) -> DataFrame:
             )
 
     text_spans = spans.where(F.col("kind") == "text").where(F.col("text").isNotNull())
+    # JVM-side candidate prefilter: a span with no "arn:" and no "@" cannot
+    # yield a mention, so don't pay Arrow transfer for it.  On this sandbox
+    # the JVM->Python page-fault bandwidth is the stage's ceiling (see
+    # BENCH/BASELINE.md host-ceiling table); at cluster scale the same
+    # predicate is the scan filter that keeps the UDF stage I/O-proportional
+    # to candidate rows, not corpus rows.
+    text_spans = text_spans.where(
+        F.col("text").contains("arn:") | F.col("text").contains("@")
+    )
     return text_spans.select(
         "doc_id",
         F.col("span_idx").cast("int").alias("span_idx"),

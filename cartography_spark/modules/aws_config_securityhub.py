@@ -54,7 +54,7 @@ def sync_config_securityhub(
     if not store.stage_done("aws:securityhub", update_tag):
         store.upsert(
             compile_nodes(hubs, SECURITYHUB_SCHEMA, update_tag),
-            compile_edges(hubs, SECURITYHUB_SCHEMA, store.nodes(), update_tag),
+            compile_edges(hubs, SECURITYHUB_SCHEMA, store.nodes, update_tag),
             "aws:securityhub",
             update_tag,
         )
@@ -65,6 +65,6 @@ def sync_config_securityhub(
             compile_nodes(rules, CONFIG_RULE_SCHEMA, update_tag)
         )
         edges = compile_edges(
-            recorders, CONFIG_RECORDER_SCHEMA, store.nodes(), update_tag
-        ).unionByName(compile_edges(rules, CONFIG_RULE_SCHEMA, store.nodes(), update_tag))
+            recorders, CONFIG_RECORDER_SCHEMA, store.nodes, update_tag
+        ).unionByName(compile_edges(rules, CONFIG_RULE_SCHEMA, store.nodes, update_tag))
         store.upsert(nodes, edges, "aws:config", update_tag)

@@ -111,7 +111,7 @@ def sync_keypairs(store: GraphStore, keypairs: DataFrame, update_tag: int) -> No
         return
     store.upsert(
         compile_nodes(keypairs, EC2_KEYPAIR_SCHEMA, update_tag),
-        compile_edges(keypairs, EC2_KEYPAIR_SCHEMA, store.nodes(), update_tag),
+        compile_edges(keypairs, EC2_KEYPAIR_SCHEMA, store.nodes, update_tag),
         "aws:ec2:keypairs",
         update_tag,
     )
@@ -130,20 +130,20 @@ def sync_ec2(
     if not store.stage_done("aws:ec2:sgs", update_tag):
         store.upsert(
             compile_nodes(security_groups, EC2_SG_SCHEMA, update_tag),
-            compile_edges(security_groups, EC2_SG_SCHEMA, store.nodes(), update_tag),
+            compile_edges(security_groups, EC2_SG_SCHEMA, store.nodes, update_tag),
             "aws:ec2:sgs",
             update_tag,
         )
     if not store.stage_done("aws:ec2:instances", update_tag):
         store.upsert(
             compile_nodes(instances, EC2_INSTANCE_SCHEMA, update_tag),
-            compile_edges(instances, EC2_INSTANCE_SCHEMA, store.nodes(), update_tag),
+            compile_edges(instances, EC2_INSTANCE_SCHEMA, store.nodes, update_tag),
             "aws:ec2:instances",
             update_tag,
         )
     if not store.stage_done("aws:ec2:rules", update_tag):
         rule_nodes = compile_nodes(rules, IP_RULE_SCHEMA, update_tag)
-        rule_edges = compile_edges(rules, IP_RULE_SCHEMA, store.nodes(), update_tag)
+        rule_edges = compile_edges(rules, IP_RULE_SCHEMA, store.nodes, update_tag)
         range_nodes = compile_nodes(rules, IP_RANGE_SCHEMA, update_tag)
         store.upsert(
             rule_nodes.unionByName(range_nodes), rule_edges, "aws:ec2:rules", update_tag
@@ -152,7 +152,7 @@ def sync_ec2(
         # range->rule edges need the rule nodes committed first
         store.upsert(
             None,
-            compile_edges(rules, IP_RANGE_SCHEMA, store.nodes(), update_tag),
+            compile_edges(rules, IP_RANGE_SCHEMA, store.nodes, update_tag),
             "aws:ec2:ranges",
             update_tag,
         )

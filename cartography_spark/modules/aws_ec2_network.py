@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -104,21 +104,21 @@ def sync_ec2_network(
     if not store.stage_done("aws:ec2:vpcs", update_tag):
         store.upsert(
             compile_nodes(vpcs, VPC_SCHEMA, update_tag),
-            compile_edges(vpcs, VPC_SCHEMA, store.nodes(), update_tag),
+            compile_edges(vpcs, VPC_SCHEMA, store.nodes, update_tag),
             "aws:ec2:vpcs",
             update_tag,
         )
     if not store.stage_done("aws:ec2:subnets", update_tag):
         store.upsert(
             compile_nodes(subnets, SUBNET_SCHEMA, update_tag),
-            compile_edges(subnets, SUBNET_SCHEMA, store.nodes(), update_tag),
+            compile_edges(subnets, SUBNET_SCHEMA, store.nodes, update_tag),
             "aws:ec2:subnets",
             update_tag,
         )
     if not store.stage_done("aws:ec2:enis", update_tag):
         store.upsert(
             compile_nodes(enis, ENI_SCHEMA, update_tag),
-            compile_edges(enis, ENI_SCHEMA, store.nodes(), update_tag),
+            compile_edges(enis, ENI_SCHEMA, store.nodes, update_tag),
             "aws:ec2:enis",
             update_tag,
         )
@@ -187,7 +187,7 @@ def sync_asgs(store: GraphStore, asgs: DataFrame, update_tag: int) -> None:
         edges = compile_edges(
             asgs,
             ASG_SCHEMA,
-            store.nodes().unionByName(nodes),
+            live_view(store, nodes),
             update_tag,
             selected_relationships=["RESOURCE", "VPC_IDENTIFIER", "HAS_LAUNCH_CONFIG"],
         )
@@ -196,7 +196,7 @@ def sync_asgs(store: GraphStore, asgs: DataFrame, update_tag: int) -> None:
         edges = compile_edges(
             _explode_members(asgs),
             ASG_SCHEMA,
-            store.nodes(),
+            store.nodes,
             update_tag,
             selected_relationships=["MEMBER_AUTO_SCALE_GROUP"],
         )

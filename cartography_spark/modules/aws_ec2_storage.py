@@ -95,21 +95,21 @@ def sync_ec2_storage(
     if not store.stage_done("aws:ec2:volumes", update_tag):
         store.upsert(
             compile_nodes(volumes, VOLUME_SCHEMA, update_tag),
-            compile_edges(volumes, VOLUME_SCHEMA, store.nodes(), update_tag),
+            compile_edges(volumes, VOLUME_SCHEMA, store.nodes, update_tag),
             "aws:ec2:volumes",
             update_tag,
         )
     if not store.stage_done("aws:ec2:snapshots", update_tag):
         store.upsert(
             compile_nodes(snapshots, SNAPSHOT_SCHEMA, update_tag),
-            compile_edges(snapshots, SNAPSHOT_SCHEMA, store.nodes(), update_tag),
+            compile_edges(snapshots, SNAPSHOT_SCHEMA, store.nodes, update_tag),
             "aws:ec2:snapshots",
             update_tag,
         )
     if not store.stage_done("aws:ec2:eips", update_tag):
         store.upsert(
             compile_nodes(eips, EIP_SCHEMA, update_tag),
-            compile_edges(eips, EIP_SCHEMA, store.nodes(), update_tag),
+            compile_edges(eips, EIP_SCHEMA, store.nodes, update_tag),
             "aws:ec2:eips",
             update_tag,
         )

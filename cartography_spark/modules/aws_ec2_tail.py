@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -97,7 +97,7 @@ def sync_ec2_tail(store: GraphStore, inventory: DataFrame, update_tag: int) -> N
             inventory.where(F.col("kind") == kind), schema, update_tag, dedupe=False
         )
         nodes = part if nodes is None else nodes.unionByName(part)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edges = None
     for kind, schema in _KIND_SCHEMAS.items():
         part = compile_edges(

@@ -32,7 +32,7 @@ def sync_eks(store: GraphStore, clusters: DataFrame, update_tag: int) -> None:
         return
     store.upsert(
         compile_nodes(clusters, EKS_CLUSTER_SCHEMA, update_tag),
-        compile_edges(clusters, EKS_CLUSTER_SCHEMA, store.nodes(), update_tag),
+        compile_edges(clusters, EKS_CLUSTER_SCHEMA, store.nodes, update_tag),
         "aws:eks",
         update_tag,
     )

@@ -189,7 +189,7 @@ def sync_elb(
         edges = compile_edges(
             elbs,
             ELB_SCHEMA,
-            store.nodes(),
+            store.nodes,
             update_tag,
             selected_relationships=["RESOURCE", "SOURCE_SECURITY_GROUP", "SUBNET"],
         ).unionByName(
@@ -198,7 +198,7 @@ def sync_elb(
                 # (reference gates the same way on 'SecurityGroups' in lb)
                 elbv2s,
                 ELBV2_SCHEMA,
-                store.nodes(),
+                store.nodes,
                 update_tag,
                 selected_relationships=["RESOURCE", "MEMBER_OF_EC2_SECURITY_GROUP", "SUBNET"],
             )
@@ -210,22 +210,22 @@ def sync_elb(
         nodes = compile_nodes(l1, ELB_LISTENER_SCHEMA, update_tag).unionByName(
             compile_nodes(l2, ELBV2_LISTENER_SCHEMA, update_tag)
         )
-        edges = compile_edges(l1, ELB_LISTENER_SCHEMA, store.nodes(), update_tag).unionByName(
-            compile_edges(l2, ELBV2_LISTENER_SCHEMA, store.nodes(), update_tag)
+        edges = compile_edges(l1, ELB_LISTENER_SCHEMA, store.nodes, update_tag).unionByName(
+            compile_edges(l2, ELBV2_LISTENER_SCHEMA, store.nodes, update_tag)
         )
         store.upsert(nodes, edges, "aws:elb:listeners", update_tag)
     if not store.stage_done("aws:elb:targets", update_tag):
         e1 = compile_edges(
             _explode_targets(elbs, "elb_id"),
             ELB_SCHEMA,
-            store.nodes(),
+            store.nodes,
             update_tag,
             selected_relationships=["EXPOSE"],
         )
         e2 = compile_edges(
             _explode_targets(elbv2s, "elbv2_id"),
             ELBV2_SCHEMA,
-            store.nodes(),
+            store.nodes,
             update_tag,
             selected_relationships=["EXPOSE"],
         )

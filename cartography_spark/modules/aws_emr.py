@@ -36,7 +36,7 @@ def sync_emr(store: GraphStore, clusters: DataFrame, update_tag: int) -> None:
     if store.stage_done(stage, update_tag):
         return
     nodes = compile_nodes(clusters, EMR_CLUSTER_SCHEMA, update_tag)
-    edges = compile_edges(clusters, EMR_CLUSTER_SCHEMA, store.nodes(), update_tag)
+    edges = compile_edges(clusters, EMR_CLUSTER_SCHEMA, store.nodes, update_tag)
     store.upsert(nodes, edges, stage, update_tag)
 
 

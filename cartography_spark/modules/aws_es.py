@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -82,8 +82,8 @@ def sync_elasticsearch(store: GraphStore, domains: DataFrame, update_tag: int) -
     nodes = compile_nodes(domains, ES_DOMAIN_SCHEMA, update_tag).unionByName(
         compile_nodes(recs, ES_DNS_RECORD_SCHEMA, update_tag)
     )
-    live = store.nodes().unionByName(nodes)
-    edges = compile_edges(domains, ES_DOMAIN_SCHEMA, store.nodes(), update_tag).unionByName(
+    live = live_view(store, nodes)
+    edges = compile_edges(domains, ES_DOMAIN_SCHEMA, store.nodes, update_tag).unionByName(
         compile_edges(recs, ES_DNS_RECORD_SCHEMA, live, update_tag)
     )
     store.upsert(nodes, edges, "aws:es", update_tag)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import LabeledFrame, compile_edges, compile_nodes
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -26,6 +26,11 @@ from cartography_spark.core.model import (
 )
 from cartography_spark.core.store import GraphStore
 from cartography_spark.modules.aws_base import account_resource_rel
+
+# Every label that can carry the AWSPrincipal identity (the three principal
+# schemas bind it as an extra label; bare stubs use it as the primary label).
+# Reads that resolve "any principal" prune to these slices.
+PRINCIPAL_LABELS = ["AWSPrincipal", "AWSUser", "AWSGroup", "AWSRole"]
 
 USER_SCHEMA = NodeSchema(
     label="AWSUser",
@@ -112,7 +117,7 @@ def sync_principals(
         if store.stage_done(stage, update_tag):
             continue
         nodes = compile_nodes(df, schema, update_tag)
-        edges = compile_edges(df, schema, store.nodes(), update_tag)
+        edges = compile_edges(df, schema, store.nodes, update_tag)
         store.upsert(nodes, edges, stage, update_tag)
 
 
@@ -141,7 +146,7 @@ def sync_role_trusts(store: GraphStore, roles: DataFrame, update_tag: int) -> No
     # Resolve each trusted ARN against live principal nodes first; stubs are
     # created only for genuinely unknown ARNs (:root, service principals).
     existing_principals = (
-        store.nodes()
+        store.nodes(labels=PRINCIPAL_LABELS)
         .where(
             (F.col("label") == "AWSPrincipal")
             | F.array_contains(F.coalesce("extra_labels", F.array()), "AWSPrincipal")
@@ -219,8 +224,11 @@ def sync_role_trusts(store: GraphStore, roles: DataFrame, update_tag: int) -> No
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
 
     store.upsert(
-        spn_nodes.unionByName(acct_nodes),
-        trust_edges.unionByName(resource_edges),
+        LabeledFrame(spn_nodes.unionByName(acct_nodes), ["AWSPrincipal", "AWSAccount"]),
+        LabeledFrame(
+            trust_edges.unionByName(resource_edges),
+            ["TRUSTS_AWS_PRINCIPAL", "RESOURCE"],
+        ),
         stage,
         update_tag,
     )
@@ -236,10 +244,10 @@ def sync_memberships(store: GraphStore, memberships: DataFrame, update_tag: int)
     stage = "aws:iam:memberships"
     if store.stage_done(stage, update_tag):
         return
-    edges = compile_edges(memberships, MEMBERSHIP_SCHEMA, store.nodes(), update_tag)
+    edges = compile_edges(memberships, MEMBERSHIP_SCHEMA, store.nodes, update_tag)
 
-    group_policy = store.edges().where(
-        (F.col("rel_label") == "POLICY") & (F.col("src_label") == "AWSGroup")
+    group_policy = store.edges(rel_labels=["POLICY"]).where(
+        F.col("src_label") == "AWSGroup"
     )
     passthrough = memberships.join(
         group_policy, memberships["group_arn"] == group_policy["src_id"], "inner"
@@ -254,7 +262,12 @@ def sync_memberships(store: GraphStore, memberships: DataFrame, update_tag: int)
         F.lit(int(update_tag)).alias("lastupdated"),
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
 
-    store.upsert(None, edges.unionByName(passthrough), stage, update_tag)
+    store.upsert(
+        None,
+        edges.unionByName(LabeledFrame(passthrough, ["POLICY"])),
+        stage,
+        update_tag,
+    )
 
 
 def sync_policies(
@@ -268,7 +281,7 @@ def sync_policies(
     pol_nodes = compile_nodes(policies, POLICY_SCHEMA, update_tag)
     stmt_nodes = compile_nodes(statements, STATEMENT_SCHEMA, update_tag)
 
-    principals = store.nodes().where(
+    principals = store.nodes(labels=PRINCIPAL_LABELS).where(
         F.array_contains(F.coalesce("extra_labels", F.array()), "AWSPrincipal")
         | (F.col("label") == "AWSPrincipal")
     ).select(F.col("id").alias("p_id"), F.col("label").alias("p_label"))
@@ -298,5 +311,8 @@ def sync_policies(
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
 
     store.upsert(
-        pol_nodes.unionByName(stmt_nodes), pol_edges.unionByName(stmt_edges), stage, update_tag
+        pol_nodes.unionByName(stmt_nodes),
+        LabeledFrame(pol_edges.unionByName(stmt_edges), ["POLICY", "STATEMENT"]),
+        stage,
+        update_tag,
     )

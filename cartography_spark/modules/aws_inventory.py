@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -125,8 +125,8 @@ def sync_sqs(store: GraphStore, queues: DataFrame, update_tag: int) -> None:
     if store.stage_done("aws:sqs", update_tag):
         return
     nodes = compile_nodes(queues, SQS_QUEUE_SCHEMA, update_tag)
-    live = store.nodes().unionByName(nodes)
-    edges = compile_edges(queues, SQS_QUEUE_SCHEMA, store.nodes(), update_tag).unionByName(
+    live = live_view(store, nodes)
+    edges = compile_edges(queues, SQS_QUEUE_SCHEMA, store.nodes, update_tag).unionByName(
         compile_edges(
             queues.where("redrive_target IS NOT NULL"),
             SQS_DLQ_LINK_SCHEMA,
@@ -146,8 +146,8 @@ def sync_kms(
     nodes = compile_nodes(keys, KMS_KEY_SCHEMA, update_tag).unionByName(
         compile_nodes(aliases, KMS_ALIAS_SCHEMA, update_tag)
     )
-    live = store.nodes().unionByName(nodes)
-    edges = compile_edges(keys, KMS_KEY_SCHEMA, store.nodes(), update_tag).unionByName(
+    live = live_view(store, nodes)
+    edges = compile_edges(keys, KMS_KEY_SCHEMA, store.nodes, update_tag).unionByName(
         compile_edges(aliases, KMS_ALIAS_SCHEMA, live, update_tag)
     )
     store.upsert(nodes, edges, "aws:kms", update_tag)
@@ -158,7 +158,7 @@ def sync_dynamodb(store: GraphStore, tables: DataFrame, update_tag: int) -> None
         return
     store.upsert(
         compile_nodes(tables, DYNAMODB_TABLE_SCHEMA, update_tag),
-        compile_edges(tables, DYNAMODB_TABLE_SCHEMA, store.nodes(), update_tag),
+        compile_edges(tables, DYNAMODB_TABLE_SCHEMA, store.nodes, update_tag),
         "aws:dynamodb",
         update_tag,
     )
@@ -178,9 +178,9 @@ def sync_apigateway(
         .unionByName(compile_nodes(stages, APIGW_STAGE_SCHEMA, update_tag))
         .unionByName(compile_nodes(resources, APIGW_RESOURCE_SCHEMA, update_tag))
     )
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edges = (
-        compile_edges(apis, APIGW_API_SCHEMA, store.nodes(), update_tag)
+        compile_edges(apis, APIGW_API_SCHEMA, store.nodes, update_tag)
         .unionByName(compile_edges(stages, APIGW_STAGE_SCHEMA, live, update_tag))
         .unionByName(compile_edges(resources, APIGW_RESOURCE_SCHEMA, live, update_tag))
     )
@@ -248,7 +248,7 @@ def sync_redshift(store: GraphStore, clusters: DataFrame, update_tag: int) -> No
         return
     store.upsert(
         compile_nodes(clusters, REDSHIFT_CLUSTER_SCHEMA, update_tag),
-        compile_edges(clusters, REDSHIFT_CLUSTER_SCHEMA, store.nodes(), update_tag),
+        compile_edges(clusters, REDSHIFT_CLUSTER_SCHEMA, store.nodes, update_tag),
         "aws:redshift",
         update_tag,
     )
@@ -263,8 +263,8 @@ def sync_elasticache(store: GraphStore, clusters: DataFrame, update_tag: int) ->
     nodes = compile_nodes(clusters, ELASTICACHE_CLUSTER_SCHEMA, update_tag).unionByName(
         compile_nodes(topics, ELASTICACHE_TOPIC_SCHEMA, update_tag)
     )
-    live = store.nodes().unionByName(nodes)
-    edges = compile_edges(clusters, ELASTICACHE_CLUSTER_SCHEMA, store.nodes(), update_tag).unionByName(
+    live = live_view(store, nodes)
+    edges = compile_edges(clusters, ELASTICACHE_CLUSTER_SCHEMA, store.nodes, update_tag).unionByName(
         compile_edges(topics, ELASTICACHE_TOPIC_SCHEMA, live, update_tag)
     )
     store.upsert(nodes, edges, "aws:elasticache", update_tag)
@@ -275,7 +275,7 @@ def sync_secretsmanager(store: GraphStore, secrets: DataFrame, update_tag: int) 
         return
     store.upsert(
         compile_nodes(secrets, SECRET_SCHEMA, update_tag),
-        compile_edges(secrets, SECRET_SCHEMA, store.nodes(), update_tag),
+        compile_edges(secrets, SECRET_SCHEMA, store.nodes, update_tag),
         "aws:secretsmanager",
         update_tag,
     )

@@ -44,14 +44,14 @@ def sync_lambda_ecr(
     if not store.stage_done("aws:lambda", update_tag):
         store.upsert(
             compile_nodes(lambdas, LAMBDA_SCHEMA, update_tag),
-            compile_edges(lambdas, LAMBDA_SCHEMA, store.nodes(), update_tag),
+            compile_edges(lambdas, LAMBDA_SCHEMA, store.nodes, update_tag),
             "aws:lambda",
             update_tag,
         )
     if not store.stage_done("aws:ecr", update_tag):
         store.upsert(
             compile_nodes(images, ECR_IMAGE_SCHEMA, update_tag),
-            compile_edges(images, ECR_IMAGE_SCHEMA, store.nodes(), update_tag),
+            compile_edges(images, ECR_IMAGE_SCHEMA, store.nodes, update_tag),
             "aws:ecr",
             update_tag,
         )

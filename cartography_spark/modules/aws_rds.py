@@ -38,7 +38,7 @@ def sync_rds(store: GraphStore, instances: DataFrame, update_tag: int) -> None:
         return
     store.upsert(
         compile_nodes(instances, RDS_INSTANCE_SCHEMA, update_tag),
-        compile_edges(instances, RDS_INSTANCE_SCHEMA, store.nodes(), update_tag),
+        compile_edges(instances, RDS_INSTANCE_SCHEMA, store.nodes, update_tag),
         "aws:rds",
         update_tag,
     )

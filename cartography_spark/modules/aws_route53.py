@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import (
+    LabeledFrame,
+    compile_edges,
+    compile_nodes,
+    live_view,
+)
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -155,15 +160,18 @@ def subzone_edges(nodes: DataFrame, edges: DataFrame, update_tag: int) -> DataFr
     )
     # dedupe on the key pair BEFORE attaching the MAP props column (Spark
     # cannot run set ops over MAP-typed columns)
-    return chain.select("zone_id", "z2_id").distinct().selectExpr(
-        "zone_id AS src_id",
-        "'AWSDNSZone' AS src_label",
-        "'SUBZONE' AS rel_label",
-        "z2_id AS dst_id",
-        "'AWSDNSZone' AS dst_label",
-        "CAST(NULL AS MAP<STRING,STRING>) AS props",
-        "CAST(NULL AS BIGINT) AS firstseen",
-        f"CAST({int(update_tag)} AS BIGINT) AS lastupdated",
+    return LabeledFrame(
+        chain.select("zone_id", "z2_id").distinct().selectExpr(
+            "zone_id AS src_id",
+            "'AWSDNSZone' AS src_label",
+            "'SUBZONE' AS rel_label",
+            "z2_id AS dst_id",
+            "'AWSDNSZone' AS dst_label",
+            "CAST(NULL AS MAP<STRING,STRING>) AS props",
+            "CAST(NULL AS BIGINT) AS firstseen",
+            f"CAST({int(update_tag)} AS BIGINT) AS lastupdated",
+        ),
+        ["SUBZONE"],
     )
 
 
@@ -186,9 +194,9 @@ def sync_route53(
     nodes = node_frames[0]
     for f in node_frames[1:]:
         nodes = nodes.unionByName(f)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edge_frames = [
-        compile_edges(zones, DNS_ZONE_SCHEMA, store.nodes(), update_tag),
+        compile_edges(zones, DNS_ZONE_SCHEMA, store.nodes, update_tag),
         compile_edges(records, DNS_RECORD_SCHEMA, live, update_tag),
         compile_edges(nameservers, NAMESERVER_SCHEMA, live, update_tag),
         compile_edges(records.where("type = 'NS'"), NS_RECORD_LINK_SCHEMA, live, update_tag),

@@ -52,14 +52,14 @@ def sync_s3(
     if not store.stage_done("aws:s3", update_tag):
         store.upsert(
             compile_nodes(buckets, S3_BUCKET_SCHEMA, update_tag),
-            compile_edges(buckets, S3_BUCKET_SCHEMA, store.nodes(), update_tag),
+            compile_edges(buckets, S3_BUCKET_SCHEMA, store.nodes, update_tag),
             "aws:s3",
             update_tag,
         )
     if not store.stage_done("aws:s3:acls", update_tag):
         store.upsert(
             compile_nodes(acls, S3_ACL_SCHEMA, update_tag),
-            compile_edges(acls, S3_ACL_SCHEMA, store.nodes(), update_tag),
+            compile_edges(acls, S3_ACL_SCHEMA, store.nodes, update_tag),
             "aws:s3:acls",
             update_tag,
         )

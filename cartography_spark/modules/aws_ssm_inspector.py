@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -94,7 +94,7 @@ def sync_ssm(
     nodes = compile_nodes(info, SSM_INFO_SCHEMA, update_tag).unionByName(
         compile_nodes(patches, SSM_PATCH_SCHEMA, update_tag)
     )
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edges = compile_edges(info, SSM_INFO_SCHEMA, live, update_tag).unionByName(
         compile_edges(patches, SSM_PATCH_SCHEMA, live, update_tag)
     )
@@ -105,7 +105,7 @@ def sync_inspector(store: GraphStore, findings: DataFrame, update_tag: int) -> N
     if store.stage_done("aws:inspector", update_tag):
         return
     nodes = compile_nodes(findings, INSPECTOR_FINDING_SCHEMA, update_tag)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     store.upsert(
         nodes,
         compile_edges(findings, INSPECTOR_FINDING_SCHEMA, live, update_tag),

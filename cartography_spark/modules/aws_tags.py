@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cartography_spark.core.loader import LabeledFrame
 from cartography_spark.core.store import GraphStore
 
 TYPE_TO_LABEL = {
@@ -54,8 +55,10 @@ def sync_tags(store: GraphStore, tag_mappings: DataFrame, update_tag: int) -> No
     typed = exploded.withColumn("res_label", F.element_at(label_map, F.col("resource_type")))
 
     # Only emit edges for resources that exist in the graph (the reference's
-    # MATCH-by-(label, property) does the same by construction).
-    resources = store.nodes().select(
+    # MATCH-by-(label, property) does the same by construction).  The join's
+    # equality on res_label means only the mapped labels can ever match, so
+    # the read prunes to exactly those slices.
+    resources = store.nodes(labels=sorted(set(TYPE_TO_LABEL.values()))).select(
         F.col("id").alias("res_id"), F.col("label").alias("node_label")
     )
     edges = typed.join(
@@ -74,4 +77,9 @@ def sync_tags(store: GraphStore, tag_mappings: DataFrame, update_tag: int) -> No
         F.lit(int(update_tag)).alias("lastupdated"),
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
 
-    store.upsert(tag_nodes, edges, stage, update_tag)
+    store.upsert(
+        LabeledFrame(tag_nodes, ["AWSTag"]),
+        LabeledFrame(edges, ["TAGGED"]),
+        stage,
+        update_tag,
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -56,7 +56,7 @@ def sync_azure(
     if not store.stage_done("azure:vms", update_tag):
         store.upsert(
             compile_nodes(vms, AZURE_VM_SCHEMA, update_tag),
-            compile_edges(vms, AZURE_VM_SCHEMA, store.nodes(), update_tag),
+            compile_edges(vms, AZURE_VM_SCHEMA, store.nodes, update_tag),
             "azure:vms",
             update_tag,
         )
@@ -155,12 +155,12 @@ def sync_azure_storage_sql(
     nodes = node_frames[0]
     for f in node_frames[1:]:
         nodes = nodes.unionByName(f)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edge_frames = [
-        compile_edges(storage_accounts, AZURE_STORAGE_ACCOUNT_SCHEMA, store.nodes(), update_tag),
+        compile_edges(storage_accounts, AZURE_STORAGE_ACCOUNT_SCHEMA, store.nodes, update_tag),
         compile_edges(blob_services, AZURE_BLOB_SERVICE_SCHEMA, live, update_tag),
         compile_edges(blob_containers, AZURE_BLOB_CONTAINER_SCHEMA, live, update_tag),
-        compile_edges(sql_servers, AZURE_SQL_SERVER_SCHEMA, store.nodes(), update_tag),
+        compile_edges(sql_servers, AZURE_SQL_SERVER_SCHEMA, store.nodes, update_tag),
         compile_edges(sql_databases, AZURE_SQL_DATABASE_SCHEMA, live, update_tag),
     ]
     edges = edge_frames[0]
@@ -284,7 +284,7 @@ def sync_cosmosdb(
             .unionByName(compile_nodes(accounts, COSMOS_READ_LOC_SCHEMA, update_tag))
         )
         edges = compile_edges(
-            accounts, COSMOS_ACCOUNT_SCHEMA, store.nodes().unionByName(nodes), update_tag
+            accounts, COSMOS_ACCOUNT_SCHEMA, live_view(store, nodes), update_tag
         )
         store.upsert(nodes, edges, "azure:cosmosdb:accounts", update_tag)
     if not store.stage_done("azure:cosmosdb:databases", update_tag):
@@ -298,7 +298,7 @@ def sync_cosmosdb(
             .unionByName(compile_nodes(sql, COSMOS_SQL_CONTAINER_SCHEMA, update_tag, dedupe=False))
             .unionByName(compile_nodes(mongo, COSMOS_MONGO_COLLECTION_SCHEMA, update_tag, dedupe=False))
         )
-        live = store.nodes().unionByName(nodes)
+        live = live_view(store, nodes)
         edges = (
             compile_edges(sql_dbs, COSMOS_SQL_DB_SCHEMA, live, update_tag)
             .unionByName(compile_edges(mongo_dbs, COSMOS_MONGO_DB_SCHEMA, live, update_tag))

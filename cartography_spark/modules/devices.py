@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -168,7 +168,7 @@ def sync_devices(
     nodes = node_frames[0]
     for f in node_frames[1:]:
         nodes = nodes.unionByName(f)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edge_frames = [
         compile_edges(vulns, SPOTLIGHT_VULN_SCHEMA, live, update_tag),
         compile_edges(kandji, KANDJI_DEVICE_SCHEMA, live, update_tag),

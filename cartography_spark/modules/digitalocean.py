@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -65,7 +65,7 @@ def sync_digitalocean(
         .unionByName(compile_nodes(projects, DO_PROJECT_SCHEMA, update_tag))
         .unionByName(compile_nodes(droplets, DO_DROPLET_SCHEMA, update_tag))
     )
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edges = compile_edges(projects, DO_PROJECT_SCHEMA, live, update_tag).unionByName(
         compile_edges(droplets, DO_DROPLET_SCHEMA, live, update_tag)
     )

@@ -205,14 +205,14 @@ def sync_gcp(
     if not store.stage_done("gcp:instances", update_tag):
         store.upsert(
             compile_nodes(instances, GCP_INSTANCE_SCHEMA, update_tag),
-            compile_edges(instances, GCP_INSTANCE_SCHEMA, store.nodes(), update_tag),
+            compile_edges(instances, GCP_INSTANCE_SCHEMA, store.nodes, update_tag),
             "gcp:instances",
             update_tag,
         )
     if vpcs is not None and not store.stage_done("gcp:vpcs", update_tag):
         store.upsert(
             compile_nodes(vpcs, GCP_VPC_SCHEMA, update_tag),
-            compile_edges(vpcs, GCP_VPC_SCHEMA, store.nodes(), update_tag),
+            compile_edges(vpcs, GCP_VPC_SCHEMA, store.nodes, update_tag),
             "gcp:vpcs",
             update_tag,
         )
@@ -225,7 +225,7 @@ def sync_gcp(
         )
         store.upsert(
             fw_nodes.unionByName(tag_nodes),
-            compile_edges(firewalls, GCP_FIREWALL_SCHEMA, store.nodes(), update_tag),
+            compile_edges(firewalls, GCP_FIREWALL_SCHEMA, store.nodes, update_tag),
             "gcp:firewalls",
             update_tag,
         )
@@ -236,7 +236,7 @@ def sync_gcp(
             compile_edges(
                 firewalls.where(F.col("target_tag").isNotNull()),
                 GCP_TARGET_TAG_SCHEMA,
-                store.nodes(),
+                store.nodes,
                 update_tag,
             ),
             "gcp:target_tags",
@@ -247,13 +247,13 @@ def sync_gcp(
         allowed = compile_edges(
             fw_rules.where(F.col("action") == "allow"),
             _rule_rel_schema("ALLOWED_BY"),
-            store.nodes(),
+            store.nodes,
             update_tag,
         )
         denied = compile_edges(
             fw_rules.where(F.col("action") == "deny"),
             _rule_rel_schema("DENIED_BY"),
-            store.nodes(),
+            store.nodes,
             update_tag,
         )
         store.upsert(
@@ -272,14 +272,14 @@ def sync_gcp(
     if instance_net is not None and not store.stage_done("gcp:instance_net_edges", update_tag):
         store.upsert(
             None,
-            compile_edges(instance_net, GCP_INSTANCE_NET_SCHEMA, store.nodes(), update_tag),
+            compile_edges(instance_net, GCP_INSTANCE_NET_SCHEMA, store.nodes, update_tag),
             "gcp:instance_net_edges",
             update_tag,
         )
     if gke is not None and not store.stage_done("gcp:gke", update_tag):
         store.upsert(
             compile_nodes(gke, GKE_CLUSTER_SCHEMA, update_tag),
-            compile_edges(gke, GKE_CLUSTER_SCHEMA, store.nodes(), update_tag),
+            compile_edges(gke, GKE_CLUSTER_SCHEMA, store.nodes, update_tag),
             "gcp:gke",
             update_tag,
         )
@@ -350,21 +350,21 @@ def sync_gcp_storage_dns(
     if not store.stage_done("gcp:buckets", update_tag):
         store.upsert(
             compile_nodes(buckets, BUCKET_SCHEMA, update_tag),
-            compile_edges(buckets, BUCKET_SCHEMA, store.nodes(), update_tag),
+            compile_edges(buckets, BUCKET_SCHEMA, store.nodes, update_tag),
             "gcp:buckets",
             update_tag,
         )
     if not store.stage_done("gcp:dns_zones", update_tag):
         store.upsert(
             compile_nodes(dns_zones, DNS_ZONE_SCHEMA, update_tag),
-            compile_edges(dns_zones, DNS_ZONE_SCHEMA, store.nodes(), update_tag),
+            compile_edges(dns_zones, DNS_ZONE_SCHEMA, store.nodes, update_tag),
             "gcp:dns_zones",
             update_tag,
         )
     if not store.stage_done("gcp:dns_records", update_tag):
         store.upsert(
             compile_nodes(dns_records, RECORD_SET_SCHEMA, update_tag),
-            compile_edges(dns_records, RECORD_SET_SCHEMA, store.nodes(), update_tag),
+            compile_edges(dns_records, RECORD_SET_SCHEMA, store.nodes, update_tag),
             "gcp:dns_records",
             update_tag,
         )

@@ -81,11 +81,11 @@ def sync_github(
     if not store.stage_done("github:requires", update_tag):
         libs = compile_nodes(requirements, LIBRARY_SCHEMA, update_tag)
         store.upsert(libs, None, "github:libs", update_tag)
-        edges = compile_edges(requirements, REQUIRES_SCHEMA, store.nodes(), update_tag)
+        edges = compile_edges(requirements, REQUIRES_SCHEMA, store.nodes, update_tag)
         store.upsert(None, edges, "github:requires", update_tag)
     if not store.stage_done("github:users", update_tag):
         nodes = compile_nodes(users, GITHUB_USER_SCHEMA, update_tag)
-        edges = compile_edges(users, GITHUB_USER_SCHEMA, store.nodes(), update_tag)
+        edges = compile_edges(users, GITHUB_USER_SCHEMA, store.nodes, update_tag)
         store.upsert(nodes, edges, "github:users", update_tag)
 
 
@@ -146,7 +146,7 @@ def sync_github_teams(
     if not store.stage_done("github:teams", update_tag):
         store.upsert(
             compile_nodes(teams, TEAM_SCHEMA, update_tag),
-            compile_edges(teams, TEAM_SCHEMA, store.nodes(), update_tag),
+            compile_edges(teams, TEAM_SCHEMA, store.nodes, update_tag),
             "github:teams",
             update_tag,
         )

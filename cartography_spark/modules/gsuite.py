@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -112,7 +112,7 @@ def sync_gsuite(
     nodes = compile_nodes(groups, GSUITE_GROUP_SCHEMA, update_tag).unionByName(
         compile_nodes(u, GSUITE_USER_SCHEMA, update_tag)
     )
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edges = compile_edges(groups, GSUITE_GROUP_SCHEMA, live, update_tag).unionByName(
         compile_edges(u, GSUITE_USER_SCHEMA, live, update_tag)
     )

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -181,7 +181,7 @@ def sync_kubernetes(
     nodes = node_frames[0]
     for f in node_frames[1:]:
         nodes = nodes.unionByName(f)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edge_frames = [
         compile_edges(namespaces, K8S_NAMESPACE_SCHEMA, live, update_tag),
         compile_edges(pods, K8S_POD_SCHEMA, live, update_tag),

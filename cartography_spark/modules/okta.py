@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import LabeledFrame, compile_edges, compile_nodes
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -87,14 +87,14 @@ def sync_okta(
             continue
         store.upsert(
             compile_nodes(df, schema, update_tag),
-            compile_edges(df, schema, store.nodes(), update_tag),
+            compile_edges(df, schema, store.nodes, update_tag),
             stage,
             update_tag,
         )
     if not store.stage_done("okta:members", update_tag):
         store.upsert(
             None,
-            compile_edges(members, MEMBER_SCHEMA, store.nodes(), update_tag),
+            compile_edges(members, MEMBER_SCHEMA, store.nodes, update_tag),
             "okta:members",
             update_tag,
         )
@@ -106,7 +106,7 @@ def sync_saml(store: GraphStore, update_tag: int) -> None:
     stage = "okta:saml"
     if store.stage_done(stage, update_tag):
         return
-    nodes = store.nodes()
+    nodes = store.nodes(labels=["OktaGroup", "AWSRole"])
     groups = nodes.where(F.col("label") == "OktaGroup").select(
         F.col("id").alias("group_id"), F.element_at("props", "name").alias("gname")
     )
@@ -135,7 +135,7 @@ def sync_saml(store: GraphStore, update_tag: int) -> None:
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
 
     # Multi-hop: user -MEMBER_OF_OKTA_GROUP-> group -ALLOWED_BY- role
-    memb = store.edges().where(F.col("rel_label") == "MEMBER_OF_OKTA_GROUP").select(
+    memb = store.edges(rel_labels=["MEMBER_OF_OKTA_GROUP"]).select(
         F.col("src_id").alias("user_id"), F.col("dst_id").alias("group_id")
     )
     can_assume = memb.join(F.broadcast(allowed), "group_id", "inner").select(
@@ -149,7 +149,14 @@ def sync_saml(store: GraphStore, update_tag: int) -> None:
         F.lit(int(update_tag)).alias("lastupdated"),
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
 
-    store.upsert(None, allowed_edges.unionByName(can_assume), stage, update_tag)
+    store.upsert(
+        None,
+        LabeledFrame(
+            allowed_edges.unionByName(can_assume), ["ALLOWED_BY", "CAN_ASSUME_ROLE"]
+        ),
+        stage,
+        update_tag,
+    )
 
 
 # --- round-3 breadth: applications, factors, admin roles, trusted origins ---
@@ -259,34 +266,34 @@ def sync_okta_breadth(
         nodes = compile_nodes(applications, APPLICATION_SCHEMA, update_tag).unionByName(
             compile_nodes(applications, REPLY_URI_SCHEMA, update_tag)
         )
-        edges = compile_edges(applications, APPLICATION_SCHEMA, store.nodes(), update_tag)
+        edges = compile_edges(applications, APPLICATION_SCHEMA, store.nodes, update_tag)
         store.upsert(nodes, edges, "okta:applications", update_tag)
     if not store.stage_done("okta:app_links", update_tag):
         # reply-uri + user->app edges need the app nodes committed/visible
         edges = compile_edges(
-            applications, REPLY_URI_SCHEMA, store.nodes(), update_tag
+            applications, REPLY_URI_SCHEMA, store.nodes, update_tag
         ).unionByName(
-            compile_edges(app_users, APP_USER_SCHEMA, store.nodes(), update_tag)
+            compile_edges(app_users, APP_USER_SCHEMA, store.nodes, update_tag)
         )
         store.upsert(None, edges, "okta:app_links", update_tag)
     if not store.stage_done("okta:factors", update_tag):
         store.upsert(
             compile_nodes(factors, FACTOR_SCHEMA, update_tag),
-            compile_edges(factors, FACTOR_SCHEMA, store.nodes(), update_tag),
+            compile_edges(factors, FACTOR_SCHEMA, store.nodes, update_tag),
             "okta:factors",
             update_tag,
         )
     if not store.stage_done("okta:roles", update_tag):
         store.upsert(
             compile_nodes(admin_roles, ADMIN_ROLE_SCHEMA, update_tag),
-            compile_edges(admin_roles, ADMIN_ROLE_SCHEMA, store.nodes(), update_tag),
+            compile_edges(admin_roles, ADMIN_ROLE_SCHEMA, store.nodes, update_tag),
             "okta:roles",
             update_tag,
         )
     if not store.stage_done("okta:origins", update_tag):
         store.upsert(
             compile_nodes(origins, TRUSTED_ORIGIN_SCHEMA, update_tag),
-            compile_edges(origins, TRUSTED_ORIGIN_SCHEMA, store.nodes(), update_tag),
+            compile_edges(origins, TRUSTED_ORIGIN_SCHEMA, store.nodes, update_tag),
             "okta:origins",
             update_tag,
         )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from cartography_spark.core.loader import compile_edges, compile_nodes
+from cartography_spark.core.loader import compile_edges, compile_nodes, live_view
 from cartography_spark.core.model import (
     LinkDirection,
     NodeSchema,
@@ -157,7 +157,7 @@ def sync_pagerduty(
     nodes = node_frames[0]
     for f in node_frames[1:]:
         nodes = nodes.unionByName(f)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edges = compile_edges(users, PD_USER_SCHEMA, live, update_tag).unionByName(
         compile_edges(services, PD_SERVICE_SCHEMA, live, update_tag)
     )
@@ -183,7 +183,7 @@ def sync_oci(
     nodes = node_frames[0]
     for f in node_frames[1:]:
         nodes = nodes.unionByName(f)
-    live = store.nodes().unionByName(nodes)
+    live = live_view(store, nodes)
     edges = (
         compile_edges(compartments, OCI_COMPARTMENT_SCHEMA, live, update_tag)
         .unionByName(compile_edges(groups, OCI_GROUP_SCHEMA, live, update_tag))

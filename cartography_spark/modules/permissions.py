@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cartography_spark.core.loader import LabeledFrame
 from cartography_spark.core.store import GraphStore
 from cartography_spark.modules.aws_iam import arn_account
 
@@ -247,7 +248,7 @@ def sync_permission_edges(
     if store.stage_done(stage, update_tag):
         return
     resources = (
-        store.nodes().where(F.col("label") == target_label).select(F.col("id").alias("arn"))
+        store.nodes(labels=[target_label]).select(F.col("id").alias("arn"))
     )
     granted = evaluate_permissions(
         policies,
@@ -266,7 +267,7 @@ def sync_permission_edges(
         F.lit(None).cast("long").alias("firstseen"),
         F.lit(int(update_tag)).alias("lastupdated"),
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
-    store.upsert(None, edges, stage, update_tag)
+    store.upsert(None, LabeledFrame(edges, [rel_label]), stage, update_tag)
 
 
 def sts_assumerole_pairs(
@@ -319,7 +320,8 @@ def sync_sts_assumerole(
     stage = "aws:permissions:sts_assumerole"
     if store.stage_done(stage, update_tag):
         return
-    edges, nodes = store.edges(), store.nodes()
+    edges = store.edges(rel_labels=["TRUSTS_AWS_PRINCIPAL"])
+    nodes = store.nodes(labels=["AWSRole", "AWSUser"])
 
     trusts = edges.where(F.col("rel_label") == "TRUSTS_AWS_PRINCIPAL").select(
         F.col("src_id").alias("role_arn"), F.col("dst_id").alias("trusted")
@@ -343,4 +345,4 @@ def sync_sts_assumerole(
         F.lit(None).cast("long").alias("firstseen"),
         F.lit(int(update_tag)).alias("lastupdated"),
     ).dropDuplicates(["src_id", "rel_label", "dst_id"])
-    store.upsert(None, out, stage, update_tag)
+    store.upsert(None, LabeledFrame(out, ["STS_ASSUMEROLE_ALLOW"]), stage, update_tag)
