@@ -21,7 +21,13 @@ def _hex_threshold(rate: float) -> str:
     """
     if rate >= 1.0:
         return "zzzz"
-    return format(max(int(round(rate * 65536)), 0), "04x")
+    n = max(int(round(rate * 65536)), 0)
+    if n >= 65536:
+        # rates just under 1.0 (e.g. 0.999997) round up to 65536, which
+        # formats as the 5-char '10000' and lexicographically keeps only
+        # hashes starting with '0' — clamp to keep-everything instead
+        return "zzzz"
+    return format(n, "04x")
 
 
 def hash_sample(

@@ -1,0 +1,203 @@
+"""Focused BufferedSyncStore + LabeledFrame tests (round-4 ADVICE items).
+
+The write-behind buffer's label-pruned read views are only correct because
+MERGE keys include the label; these tests pin that equivalence directly —
+a labeled read over interleaved labeled/unlabeled batches must be
+row-identical to the sequential-commit state — plus the view-cache
+invalidation rules and the LabeledFrame classic-DataFrame subclassing the
+pruning depends on (it degrades to unpruned-but-exact if Spark breaks the
+subclass, and THESE tests are the loud failure the degradation needs).
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.core.loader import LabeledFrame, NODES_SCHEMA, EDGES_SCHEMA
+
+
+def _node_rows(spark, label, ids, tag, prop=None):
+    rows = [
+        (f"{label.lower()}-{i}", label, ({"p": prop} if prop else None), None, None, tag)
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, NODES_SCHEMA)
+
+
+def _collect_nodes(df):
+    return sorted(
+        (r["id"], r["label"], (r["props"] or {}).get("p"), r["lastupdated"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def buffered(spark):
+    from cartography_spark.core.store import BufferedSyncStore, GraphStore
+
+    root = tempfile.mkdtemp(prefix="bufstore_")
+    yield BufferedSyncStore(GraphStore(spark, root, write_partitions=2))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture()
+def sequential(spark):
+    from cartography_spark.core.store import GraphStore
+
+    root = tempfile.mkdtemp(prefix="seqstore_")
+    yield GraphStore(spark, root, write_partitions=2)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+TAG = 1700000000
+
+
+def _interleaved_batches(spark):
+    """Labeled and UNlabeled batches that overlap on label A (key collisions
+    the fold must resolve last-write-wins) plus a disjoint label B."""
+    return [
+        ("s1", LabeledFrame(_node_rows(spark, "A", range(4), TAG, "v1"), ["A"])),
+        ("s2", _node_rows(spark, "B", range(3), TAG, "b1")),  # unlabeled (plain DF)
+        ("s3", LabeledFrame(_node_rows(spark, "A", range(2, 6), TAG, "v2"), ["A"])),
+    ]
+
+
+def test_labeled_read_matches_sequential_commits(spark, buffered, sequential):
+    for stage, batch in _interleaved_batches(spark):
+        buffered.upsert(batch, None, stage, TAG)
+        sequential.upsert(batch, None, stage, TAG)
+    # labeled read folds only label-intersecting batches (s2 is unlabeled so
+    # it must be folded conservatively) — rows must match the committed state
+    assert _collect_nodes(buffered.nodes(labels=["A"])) == _collect_nodes(
+        sequential.nodes(labels=["A"])
+    )
+    assert _collect_nodes(buffered.nodes(labels=["B"])) == _collect_nodes(
+        sequential.nodes(labels=["B"])
+    )
+    assert _collect_nodes(buffered.nodes()) == _collect_nodes(sequential.nodes())
+    # last-write-wins on the overlapping ids
+    a = dict(
+        ((i, lbl), p) for i, lbl, p, _ in _collect_nodes(buffered.nodes(labels=["A"]))
+    )
+    assert a[("a-3", "A")] == "v2" and a[("a-0", "A")] == "v1"
+
+
+def test_view_cache_invalidated_by_overlapping_upsert(spark, buffered):
+    buffered.upsert(
+        LabeledFrame(_node_rows(spark, "A", range(3), TAG, "v1"), ["A"]), None, "s1", TAG
+    )
+    v1 = buffered.nodes(labels=["A"])
+    assert buffered.nodes(labels=["A"]) is v1  # memoized
+    # non-intersecting labeled write keeps the cached A view
+    buffered.upsert(
+        LabeledFrame(_node_rows(spark, "C", range(2), TAG), ["C"]), None, "s2", TAG
+    )
+    assert buffered.nodes(labels=["A"]) is v1
+    # overlapping write must drop it and the new view must see the new rows
+    buffered.upsert(
+        LabeledFrame(_node_rows(spark, "A", range(3), TAG, "v2"), ["A"]), None, "s3", TAG
+    )
+    v2 = buffered.nodes(labels=["A"])
+    assert v2 is not v1
+    assert {p for _, _, p, _ in _collect_nodes(v2)} == {"v2"}
+    # unlabeled write can affect anything -> drops every cached view
+    v3 = buffered.nodes(labels=["C"])
+    buffered.upsert(_node_rows(spark, "C", range(2), TAG, "u"), None, "s4", TAG)
+    assert buffered.nodes(labels=["C"]) is not v3
+
+
+def test_view_cache_invalidated_by_flush_through(spark, buffered):
+    buffered.upsert(
+        LabeledFrame(_node_rows(spark, "A", range(3), TAG, "v1"), ["A"]), None, "s1", TAG
+    )
+    view = buffered.nodes(labels=["A"])
+    assert len(_collect_nodes(view)) == 3
+    # delete() is a flush-through call: it publishes a new snapshot, so the
+    # cached committed-state view must be dropped afterwards
+    stale = _node_rows(spark, "A", [0], TAG).select("label", "id")
+    buffered.delete(stale, None, "cleanup", TAG + 1)
+    fresh = buffered.nodes(labels=["A"])
+    assert fresh is not view
+    assert len(_collect_nodes(fresh)) == 2
+
+
+def test_resume_skips_buffered_member_stages(spark, buffered):
+    buffered.upsert(
+        LabeledFrame(_node_rows(spark, "A", range(2), TAG), ["A"]), None, "stage-a", TAG
+    )
+    buffered.upsert(
+        LabeledFrame(_node_rows(spark, "B", range(2), TAG), ["B"]), None, "stage-b", TAG
+    )
+    buffered.flush()
+    # every member stage of the group commit is individually resumable
+    assert buffered.stage_done("stage-a", TAG)
+    assert buffered.stage_done("stage-b", TAG)
+    assert not buffered.stage_done("stage-c", TAG)
+
+
+# -- LabeledFrame compatibility pin (VERDICT r3 item 10 / ADVICE) -------------
+
+
+def test_labeledframe_survives_spark_version(spark):
+    """Fails LOUDLY if a Spark upgrade breaks the classic-DataFrame
+    subclassing the label pruning rides on (the engine itself degrades to
+    unpruned-but-exact, which no pipeline test would catch)."""
+    a = LabeledFrame(_node_rows(spark, "A", range(2), TAG), ["A"])
+    b = LabeledFrame(_node_rows(spark, "B", range(2), TAG), ["B"])
+    assert a.cartography_labels == frozenset({"A"})
+    # transformations must still work through the subclass
+    assert a.where(F.col("label") == "A").count() == 2
+    u = a.unionByName(b)
+    assert isinstance(u, LabeledFrame)
+    assert u.cartography_labels == frozenset({"A", "B"})
+    assert u.count() == 4
+    # union with a plain frame degrades conservatively: no label claim
+    plain = a.unionByName(_node_rows(spark, "C", range(1), TAG))
+    assert getattr(plain, "cartography_labels", None) is None
+    assert plain.count() == 3
+
+    # edge frames carry rel labels the same way
+    e = spark.createDataFrame(
+        [("a-0", "A", "REL", "b-0", "B", None, None, TAG)], EDGES_SCHEMA
+    )
+    le = LabeledFrame(e, ["REL"])
+    assert le.cartography_labels == frozenset({"REL"})
+
+
+def test_principal_labels_cover_all_schemas():
+    """ADVICE: PRINCIPAL_LABELS hardcodes which primary labels can carry the
+    AWSPrincipal extra label — assert no schema anywhere binds AWSPrincipal
+    under a primary label the list misses (pruned principal reads would
+    silently drop it)."""
+    import importlib
+    import pkgutil
+
+    import cartography_spark.modules as mods
+    from cartography_spark.core.model import NodeSchema
+    from cartography_spark.modules.aws_iam import PRINCIPAL_LABELS
+
+    carriers = set()
+    for m in pkgutil.iter_modules(mods.__path__):
+        mod = importlib.import_module(f"cartography_spark.modules.{m.name}")
+        for v in vars(mod).values():
+            if isinstance(v, NodeSchema) and "AWSPrincipal" in (v.extra_labels or ()):
+                carriers.add(v.label)
+    assert carriers, "expected at least the IAM principal schemas"
+    missing = carriers - set(PRINCIPAL_LABELS)
+    assert not missing, (
+        f"schemas bind AWSPrincipal under labels {sorted(missing)} not in "
+        f"PRINCIPAL_LABELS — pruned principal reads would miss them"
+    )
+
+
+def test_hash_sample_near_one_rate_keeps_everything(spark):
+    """ADVICE: rates just under 1.0 used to overflow the 4-hex-digit space
+    ('10000') and keep only ~6% of rows."""
+    from cartography_spark.ops.sampling import hash_sample
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("doc_id"))
+    assert hash_sample(df, 0.999997).count() == 500
+    assert hash_sample(df, 1.0).count() == 500
+    assert hash_sample(df, 0.0).count() == 0
