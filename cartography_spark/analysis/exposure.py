@@ -152,17 +152,44 @@ def exposed_elbv2s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compute_legs(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> dict[str, DataFrame]:
+    """The four shared exposure legs, computed ONCE.
+
+    ``mark_exposure`` (and anything else consuming several legs in one
+    action) passes ``checkpoint=True``: each leg becomes a lazy
+    localCheckpoint that executes exactly once at first use and is reused by
+    every downstream consumer — without it the tree re-derived each leg per
+    consumer (~3x per sync was the measured cost of kg_exposure_types vs
+    kg_exposure).  Standalone single-consumer queries keep the default
+    (pure lazy plans, no extra materialization jobs)."""
+    legs = {
+        "instances": exposed_instances(spark, sf_dir),
+        "eni": eni_exposed_instances(spark, sf_dir),
+        "elbs": exposed_elbs(spark, sf_dir),
+        "elbv2s": exposed_elbv2s(spark, sf_dir),
+    }
+    if checkpoint:
+        legs = {k: v.localCheckpoint(eager=False) for k, v in legs.items()}
+    return legs
+
+
+def exposure_types(
+    spark: SparkSession, sf_dir: str, legs: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Per-instance accumulated exposed_internet_type list (st.2+5+6):
     'direct' (direct OR ENI reach), 'elb' (targeted by an exposed classic
     ELB), 'elbv2' (targeted by an exposed v2).  Output: instance_id,
     exposure_types (comma-joined sorted distinct)."""
     from cartography_spark.sources.fixtures import elb_load_balancers, elbv2_load_balancers
 
+    if legs is None:
+        legs = compute_legs(spark, sf_dir)
     direct = (
-        exposed_instances(spark, sf_dir)
+        legs["instances"]
         .select("instance_id")
-        .unionByName(eni_exposed_instances(spark, sf_dir).select("instance_id"))
+        .unionByName(legs["eni"].select("instance_id"))
         .withColumn("etype", F.lit("direct"))
     )
 
@@ -177,7 +204,7 @@ def exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     elb_leg = (
         _targets(elb_load_balancers(spark, sf_dir), "elb_id")
         .join(
-            F.broadcast(exposed_elbs(spark, sf_dir).select("lb_id")),
+            F.broadcast(legs["elbs"].select("lb_id")),
             ["lb_id"],
             "left_semi",
         )
@@ -187,7 +214,7 @@ def exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     elbv2_leg = (
         _targets(elbv2_load_balancers(spark, sf_dir), "elbv2_id")
         .join(
-            F.broadcast(exposed_elbv2s(spark, sf_dir).select("lb_id")),
+            F.broadcast(legs["elbv2s"].select("lb_id")),
             ["lb_id"],
             "left_semi",
         )
@@ -207,9 +234,13 @@ def exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def asg_exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asg_exposure_types(
+    spark: SparkSession, sf_dir: str, inst_types: DataFrame | None = None
+) -> DataFrame:
     """Statement 7: exposed instances propagate their distinct exposure
     types to their AutoScalingGroup through MEMBER_AUTO_SCALE_GROUP.
+    ``inst_types`` accepts a precomputed :func:`exposure_types` frame so a
+    sync evaluates the exposure tree once, not once per consumer.
     Output: asg_arn, exposure_types (comma-joined sorted distinct union of
     member types)."""
     from cartography_spark.sources.fixtures import ec2_asgs
@@ -220,7 +251,9 @@ def asg_exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "instance_id"
         ),
     )
-    inst_types = exposure_types(spark, sf_dir).select(
+    if inst_types is None:
+        inst_types = exposure_types(spark, sf_dir)
+    inst_types = inst_types.select(
         "instance_id", F.explode(F.split("exposure_types", ",")).alias("etype")
     )
     return (
@@ -234,12 +267,25 @@ def asg_exposure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _set_type_list(nodes: DataFrame, marks: DataFrame) -> DataFrame:
+# Mark sets up to this many label-slice rows broadcast into the rewrite
+# joins; the mark set is data-dependent (a permissive estate can expose a
+# large fraction of all instances), so above the ceiling the hint is dropped
+# and AQE picks the strategy — same gate as GraphStore.BROADCAST_DELETE_MAX_IDS.
+BROADCAST_MARKS_MAX_IDS = 10_000_000
+
+
+def _set_type_list(
+    nodes: DataFrame, marks: DataFrame, broadcast_marks: bool = True
+) -> DataFrame:
     """Rebuild exposed_internet / exposed_internet_type on a label slice from
     a (id, exposure_types) mark set.  Unmarked nodes lose any stale mark —
-    the set-wise analog of the reference job's clearing statement (st.1)."""
+    the set-wise analog of the reference job's clearing statement (st.1).
+    ``broadcast_marks`` is gated by the caller on a size estimate (marks are
+    a subset of the label slice, so the slice's manifest row count bounds
+    them)."""
+    hint = F.broadcast if broadcast_marks else (lambda df: df)
     marked = (
-        nodes.join(F.broadcast(marks), ["id"], "inner")
+        nodes.join(hint(marks), ["id"], "inner")
         .withColumn(
             "props",
             F.map_concat(
@@ -259,7 +305,7 @@ def _set_type_list(nodes: DataFrame, marks: DataFrame) -> DataFrame:
         )
         .drop("exposure_types")
     )
-    rest = nodes.join(F.broadcast(marks), ["id"], "left_anti").withColumn(
+    rest = nodes.join(hint(marks), ["id"], "left_anti").withColumn(
         "props",
         F.when(
             F.col("props").isNotNull(),
@@ -276,30 +322,46 @@ def mark_exposure(store, spark: SparkSession, sf_dir: str, update_tag: int) -> N
     """Write the accumulated exposure marks onto EC2Instance, LoadBalancer
     and LoadBalancerV2 label slices (commit_partial rewrites ONLY those
     slices).  Instances get the full type list; load balancers get
-    exposed_internet=true (st.3/4 set only the boolean on LBs)."""
-    inst_marks = exposure_types(spark, sf_dir).select(
-        F.col("instance_id").alias("id"), "exposure_types"
-    )
-    elb_marks = exposed_elbs(spark, sf_dir).select(
+    exposed_internet=true (st.3/4 set only the boolean on LBs).
+
+    The exposure tree is evaluated ONCE: the four legs are computed and
+    lazily checkpointed by :func:`compute_legs`, the per-instance type list
+    once more on top, and every mark set (instances, both LB families, ASGs)
+    reads from those shared frames instead of re-deriving the tree."""
+    legs = compute_legs(spark, sf_dir, checkpoint=True)
+    inst_types = exposure_types(spark, sf_dir, legs).localCheckpoint(eager=False)
+
+    inst_marks = inst_types.select(F.col("instance_id").alias("id"), "exposure_types")
+    elb_marks = legs["elbs"].select(
         F.col("lb_id").alias("id"), F.lit("elb").alias("exposure_types")
     )
-    elbv2_marks = exposed_elbv2s(spark, sf_dir).select(
+    elbv2_marks = legs["elbv2s"].select(
         F.col("lb_id").alias("id"), F.lit("elbv2").alias("exposure_types")
     )
-
-    asg_marks = asg_exposure_types(spark, sf_dir).select(
+    asg_marks = asg_exposure_types(spark, sf_dir, inst_types=inst_types).select(
         F.col("asg_arn").alias("id"), "exposure_types"
     )
 
+    def _bcast(label: str) -> bool:
+        # marks are bounded by the label slice, whose manifest row count is
+        # available without a count() job; unknown (never-committed) slices
+        # broadcast — they are empty or first-run small
+        n = store.label_rowcount(label)
+        return n is None or n <= BROADCAST_MARKS_MAX_IDS
+
     out = _set_type_list(
-        store.nodes(labels=["EC2Instance"]), inst_marks
+        store.nodes(labels=["EC2Instance"]), inst_marks, _bcast("EC2Instance")
     ).unionByName(
-        _set_type_list(store.nodes(labels=["LoadBalancer"]), elb_marks)
+        _set_type_list(store.nodes(labels=["LoadBalancer"]), elb_marks, _bcast("LoadBalancer"))
     ).unionByName(
-        _set_type_list(store.nodes(labels=["LoadBalancerV2"]), elbv2_marks)
+        _set_type_list(
+            store.nodes(labels=["LoadBalancerV2"]), elbv2_marks, _bcast("LoadBalancerV2")
+        )
     ).unionByName(
         # statement 7: ASGs accumulate their exposed members' type sets
-        _set_type_list(store.nodes(labels=["AutoScalingGroup"]), asg_marks)
+        _set_type_list(
+            store.nodes(labels=["AutoScalingGroup"]), asg_marks, _bcast("AutoScalingGroup")
+        )
     )
     store.commit_partial(
         out,

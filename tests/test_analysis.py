@@ -57,6 +57,47 @@ def test_mark_exposure_list_property(spark, store):
     assert row.props["exposed_internet"] == "true"
 
 
+def test_mark_exposure_computes_each_leg_once(spark, store, monkeypatch):
+    """The exposure tree is one-shot per sync: each of the four legs (and the
+    per-instance type aggregation) is derived exactly once inside
+    mark_exposure, shared via lazy checkpoints — not re-derived per consumer
+    (instance marks + ASG marks + LB marks used to re-walk the tree ~3x)."""
+    import cartography_spark.analysis.exposure as exp
+
+    calls = {"instances": 0, "eni": 0, "elbs": 0, "elbv2s": 0, "types": 0}
+    originals = {
+        "instances": exp.exposed_instances,
+        "eni": exp.eni_exposed_instances,
+        "elbs": exp.exposed_elbs,
+        "elbv2s": exp.exposed_elbv2s,
+        "types": exp.exposure_types,
+    }
+
+    def counting(key):
+        def wrapper(*args, **kwargs):
+            calls[key] += 1
+            return originals[key](*args, **kwargs)
+
+        return wrapper
+
+    monkeypatch.setattr(exp, "exposed_instances", counting("instances"))
+    monkeypatch.setattr(exp, "eni_exposed_instances", counting("eni"))
+    monkeypatch.setattr(exp, "exposed_elbs", counting("elbs"))
+    monkeypatch.setattr(exp, "exposed_elbv2s", counting("elbv2s"))
+    monkeypatch.setattr(exp, "exposure_types", counting("types"))
+
+    from cartography_spark.core.loader import empty_edges
+
+    inst = exposed_instances(spark, SF_DIR).limit(1).collect()
+    nodes = spark.createDataFrame(
+        [(inst[0].instance_id, "EC2Instance", None, None, None, T1)],
+        "id string, label string, props map<string,string>, extra_labels array<string>, firstseen long, lastupdated long",
+    )
+    store.commit(nodes, empty_edges(spark), "seed", T1)
+    mark_exposure(store, spark, SF_DIR, T1)
+    assert calls == {"instances": 1, "eni": 1, "elbs": 1, "elbv2s": 1, "types": 1}, calls
+
+
 def test_drift_states_roundtrip(spark, tmp_path):
     a = spark.createDataFrame([("x", "1"), ("y", "2")], ["k", "v"])
     b = spark.createDataFrame([("x", "1"), ("z", "3")], ["k", "v"])
