@@ -216,6 +216,34 @@ def _q_kg_permission_can_read(spark, sf_dir):
     ).select("principal_arn", "resource_arn")
 
 
+def _q_kg_permission_registry(spark, sf_dir):
+    """Config-only permission mapping: the CAN_SEND row exists ONLY in
+    data/permission_relationships.json (reference parity: users extend
+    permission_relationships.yaml without code changes,
+    permission_relationships.py:284-305).  The query resolves the mapping
+    FROM the config file and evaluates it — a mapping edit alone changes the
+    result set."""
+    from cartography_spark.modules.permissions import (
+        evaluate_permissions,
+        load_permission_mappings,
+    )
+    from cartography_spark.sources import fixtures as fx
+
+    m = next(
+        m for m in load_permission_mappings() if m["relationship_name"] == "CAN_SEND"
+    )
+    return evaluate_permissions(
+        fx.iam_policies(spark, sf_dir),
+        fx.iam_policy_statements(spark, sf_dir),
+        fx.sqs_queues(spark, sf_dir).select("arn"),
+        m["permissions"][0],
+    ).select(
+        "principal_arn",
+        "resource_arn",
+        F.lit(m["relationship_name"]).alias("rel_label"),
+    )
+
+
 def _q_kg_sts_assumerole(spark, sf_dir):
     from cartography_spark.modules.permissions import sts_assumerole_pairs
     from cartography_spark.sources import fixtures as fx
@@ -1925,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gsuite_effective": _q_kg_gsuite_effective,
         "kg_permission_can_read": _q_kg_permission_can_read,
         "kg_permission_can_list": _q_kg_permission_can_list,
+        "kg_permission_registry": _q_kg_permission_registry,
         "kg_two_tag_users": _q_kg_two_tag_users,
         "kg_two_tag_roles": _q_kg_two_tag_roles,
         "kg_two_tag_clusters": _q_kg_two_tag_clusters,
@@ -2174,6 +2203,23 @@ def oracle_sql() -> dict[str, str]:
               AND (s.s_suppkey % 5 = 0
                    OR b.arn LIKE replace('arn:aws:s3:::bucket-' || CAST(s.s_suppkey % 20 AS VARCHAR) || '*', '*', '%'))
               AND NOT (s.s_suppkey % 7 = 0 AND b.arn LIKE 'arn:aws:s3:::bucket-3%')
+        """,
+        # config-only mapping: suppliers s%3==0 hold sqs:SendMessage on
+        # arn:aws:sqs:us-east-1:<their acct>:* — pairs with every queue in
+        # that account
+        "kg_permission_registry": f"""
+            WITH q AS (
+              SELECT 'arn:aws:sqs:us-east-1:' ||
+                     lpad(CAST(CAST(o_orderkey / 19 AS BIGINT) % 25 AS VARCHAR), 12, '0') ||
+                     ':queue-' || CAST(o_orderkey AS VARCHAR) AS arn,
+                     lpad(CAST(CAST(o_orderkey / 19 AS BIGINT) % 25 AS VARCHAR), 12, '0') AS acct
+              FROM orders WHERE o_orderkey % 19 = 0
+            )
+            SELECT 'arn:aws:iam::' || {ACCT.format(k='s.s_nationkey')} || ':role/role-' || CAST(s.s_suppkey AS VARCHAR) AS principal_arn,
+                   q.arn AS resource_arn,
+                   'CAN_SEND' AS rel_label
+            FROM supplier s JOIN q ON q.acct = {ACCT.format(k='s.s_nationkey')}
+            WHERE s.s_suppkey % 3 = 0
         """,
         "kg_sts_assumerole": f"""
             SELECT 'arn:aws:iam::' || {ACCT.format(k='p.s_nationkey')} || ':role/role-' || CAST(p.s_suppkey AS VARCHAR) AS principal_arn,

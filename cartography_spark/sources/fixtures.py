@@ -285,7 +285,23 @@ def iam_policy_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("arn:aws:s3:::bucket-3*")).alias("resource"),
         )
     )
-    return allow.unionByName(deny)
+    # Every 3rd supplier may publish to its OWN account's SQS queues — the
+    # grant behind the config-only CAN_SEND mapping (permission mapping
+    # registry parity: reference permission_relationships.yaml rows add
+    # permission->rel families with no code change).  Account-scoped
+    # wildcard resource exercises the IAM `*` grammar on a non-s3 service.
+    sqs = s.where((F.col("s_suppkey") % 3) == 0).select(
+        pid.alias("policy_id"),
+        F.concat(pid, F.lit("/statement/3")).alias("statement_id"),
+        F.lit("Allow").alias("effect"),
+        F.array(F.lit("sqs:SendMessage")).alias("action"),
+        F.array(
+            F.concat(
+                F.lit("arn:aws:sqs:us-east-1:"), _acct(F.col("s_nationkey")), F.lit(":*")
+            )
+        ).alias("resource"),
+    )
+    return allow.unionByName(deny).unionByName(sqs)
 
 
 @plan_memo
