@@ -1913,7 +1913,8 @@ def _q_kg_oci_members(spark, sf_dir):
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _member_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every individual query, BEFORE family consolidation (see queries())."""
     return {
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
@@ -2061,7 +2062,7 @@ def _minhash_sig_sql(num_hashes: int = 16, bands: int = 4) -> str:
   )"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _member_oracle_sql() -> dict[str, str]:
     n_cust = "(SELECT count(*) FROM customer)"
     n_supp = "(SELECT count(*) FROM supplier)"
     exposure_legs = """
@@ -3454,3 +3455,247 @@ def oracle_sql() -> dict[str, str]:
         # sim_ann_lsh: intentionally no oracle — approximate result (rows-only
         # check); recall vs brute force is asserted in tests/test_ops.py.
     }
+
+
+# ---------------------------------------------------------------------------
+# family consolidation: fit the whole query surface inside the driver's
+# 50-entry correctness gate
+# ---------------------------------------------------------------------------
+#
+# The per-provider singleton queries all assert the same compile->upsert
+# grammar on different schemas; checked individually they overflow the
+# driver's first-50 gate (rounds 1-3 rotated coverage instead).  Each family
+# below UNIONs its members' full result sets into rows of
+# (q = member name, row_str = the member row's columns, sorted by name,
+# cast to string and joined on chr(31) with chr(2) for NULL) — a bijection
+# of every member row, so NO assertion is lost: a single changed value in
+# any member changes the family's value hash.  The DuckDB oracle applies the
+# identical encoding to each member oracle, so the driver's sorted-column
+# value-hash compare still proves cell-level equality.  Only string /
+# integer / boolean columns exist in the members (cast parity between
+# engines is exact for those; checked by tests/test_entry.py).
+
+_FAMILIES = {
+    "kg_aws_core_family": [
+        "kg_resource_edges",
+        "kg_member_edges",
+        "kg_trust_edges",
+        "kg_accounts",
+        "kg_tagged_edges",
+        "kg_ec2_assumerole",
+        "kg_foreign_accounts",
+        "kg_s3_anonymous",
+    ],
+    "kg_aws_network_family": [
+        "kg_vpc_subnets",
+        "kg_asg_members",
+        "kg_elastic_ips",
+        "kg_ec2_sg_members",
+        "kg_ec2_rule_ranges",
+        "kg_keypair_dupes",
+    ],
+    "kg_aws_ext_family": [
+        "kg_sqs_dlq",
+        "kg_kms_aliases",
+        "kg_apigw_chain",
+        "kg_ecs_services",
+        "kg_ecs_task_images",
+        "kg_ebs_attachments",
+        "kg_ebs_snapshots",
+        "kg_config_inventory",
+        "kg_ec2_tail_nodes",
+        "kg_ec2_tail_edges",
+        "kg_lambda_ecr",
+        "kg_rds_exposed",
+        "kg_redshift_sg",
+        "kg_secrets_unrotated",
+        "kg_ssm_missing_patches",
+        "kg_inspector_affects",
+    ],
+    "kg_exposure_legs_family": [
+        "kg_eni_exposure",
+        "kg_elb_exposed",
+        "kg_elb_targets",
+        "kg_asg_exposure",
+    ],
+    "kg_identity_family": [
+        "kg_okta_apps",
+        "kg_okta_factors",
+        "kg_okta_admin_roles",
+        "kg_github_teams",
+        "kg_human_okta",
+        "kg_gsuite_members",
+        "kg_duo_humans",
+    ],
+    "kg_gcp_azure_family": [
+        "kg_gcp_buckets",
+        "kg_cosmos_dbs",
+        "kg_cosmos_containers",
+        "kg_gke_flags",
+        "kg_gcp_fw_ingress",
+        "kg_gcp_instances",
+        "kg_azure_vms",
+        "kg_azure_public_containers",
+        "kg_azure_sql_dbs",
+    ],
+    "kg_dns_family": [
+        "kg_gcp_dns_xprovider",
+        "kg_dns_records",
+        "kg_dns_cname_resolved",
+        "kg_dns_subzones",
+        "kg_es_dns",
+    ],
+    "kg_k8s_family": [
+        "kg_eks_exposed",
+        "kg_k8s_containers",
+        "kg_k8s_lb_pods",
+        "kg_k8s_ecr_images",
+    ],
+    "kg_saas_family": [
+        "kg_lastpass_identity",
+        "kg_semgrep_repo_cves",
+        "kg_snipeit_checkouts",
+        "kg_do_droplets",
+        "kg_pagerduty_chain",
+        "kg_oci_members",
+        "kg_host_cves",
+    ],
+    "kg_two_tag_family": [
+        "kg_two_tag_roles",
+        "kg_two_tag_clusters",
+        "kg_two_tag_pods",
+    ],
+}
+
+_FAMILY_COLS = {
+    "kg_resource_edges": ["dst_id", "dst_label", "rel_label", "src_id"],
+    "kg_member_edges": ["dst_id", "src_id"],
+    "kg_trust_edges": ["principal", "ptype", "role_arn"],
+    "kg_accounts": ["id", "name"],
+    "kg_tagged_edges": ["resource_arn", "tag_id"],
+    "kg_ec2_assumerole": ["instance_id", "role_arn"],
+    "kg_foreign_accounts": ["account_id", "is_foreign"],
+    "kg_s3_anonymous": ["anonymous_actions", "bucket_arn"],
+    "kg_vpc_subnets": ["subnet_id", "vpc_id"],
+    "kg_asg_members": ["asg_arn", "instance_id"],
+    "kg_elastic_ips": ["public_ip", "src_id", "src_label"],
+    "kg_ec2_sg_members": ["instance_id", "sg_id"],
+    "kg_ec2_rule_ranges": ["cidr", "rule_id"],
+    "kg_keypair_dupes": ["arn_a", "arn_b", "fp_len"],
+    "kg_sqs_dlq": ["dlq_arn", "queue_arn"],
+    "kg_kms_aliases": ["alias_arn", "key_id"],
+    "kg_apigw_chain": ["api_id", "resource_id", "stage_arn"],
+    "kg_ecs_services": ["cluster_arn", "service_arn", "task_def_arn"],
+    "kg_ecs_task_images": ["container_id", "digest", "task_arn"],
+    "kg_ebs_attachments": ["instance_id", "volume_id"],
+    "kg_ebs_snapshots": ["snapshot_id", "volume_id"],
+    "kg_config_inventory": ["account_id", "label", "node_id"],
+    "kg_ec2_tail_nodes": ["label", "node_id"],
+    "kg_ec2_tail_edges": ["dst_id", "rel_label", "src_id"],
+    "kg_lambda_ecr": ["digest", "lambda_arn"],
+    "kg_rds_exposed": ["arn", "endpoint_address"],
+    "kg_redshift_sg": ["cluster_arn", "sg_id"],
+    "kg_secrets_unrotated": ["account_id", "arn"],
+    "kg_ssm_missing_patches": ["instance_id", "patch_id"],
+    "kg_inspector_affects": ["finding_id", "instance_id"],
+    "kg_eni_exposure": ["eni_id", "instance_id", "listener_port", "sg_id"],
+    "kg_elb_exposed": ["kind", "lb_id", "listener_port", "sg_id"],
+    "kg_elb_targets": ["instance_id", "lb_id"],
+    "kg_asg_exposure": ["asg_arn", "exposure_types"],
+    "kg_okta_apps": ["app_id", "group_id"],
+    "kg_okta_factors": ["factor_id", "factor_type", "user_id"],
+    "kg_okta_admin_roles": ["role_type", "user_id"],
+    "kg_github_teams": ["permission", "repo_url", "team_id"],
+    "kg_human_okta": ["email", "okta_id"],
+    "kg_gsuite_members": ["group_id", "member_id", "member_type"],
+    "kg_duo_humans": ["email", "user_id"],
+    "kg_gcp_buckets": ["bucket_id", "project_id"],
+    "kg_cosmos_dbs": ["account_id", "db_id", "db_kind"],
+    "kg_cosmos_containers": ["container_id", "db_id", "db_kind"],
+    "kg_gke_flags": ["basic_auth", "exposed_internet", "self_link"],
+    "kg_gcp_fw_ingress": ["fw_id", "instance_id"],
+    "kg_gcp_instances": ["instance_id", "project_id"],
+    "kg_azure_vms": ["subscription_id", "vm_id"],
+    "kg_azure_public_containers": ["account_id", "container_id"],
+    "kg_azure_sql_dbs": ["db_id", "server_id", "subscription_id"],
+    "kg_gcp_dns_xprovider": ["aws_record_id", "gcp_record_id"],
+    "kg_dns_records": ["record_id", "zoneid"],
+    "kg_dns_cname_resolved": ["cname_id", "ip", "target_name"],
+    "kg_dns_subzones": ["parent_zoneid", "subzone_id"],
+    "kg_es_dns": ["domain_id", "record_id"],
+    "kg_eks_exposed": ["arn", "exposed_internet"],
+    "kg_k8s_containers": ["cluster_uid", "container_uid", "image", "namespace_uid", "pod_uid"],
+    "kg_k8s_lb_pods": ["pod_uid", "service_uid"],
+    "kg_k8s_ecr_images": ["container_uid", "digest"],
+    "kg_lastpass_identity": ["human_email", "user_id"],
+    "kg_semgrep_repo_cves": ["cve_id", "finding_id", "repo_url"],
+    "kg_snipeit_checkouts": ["asset_id", "user_id"],
+    "kg_do_droplets": ["account_id", "droplet_id", "project_id"],
+    "kg_pagerduty_chain": ["ep_id", "service_id", "team_id"],
+    "kg_oci_members": ["group_ocid", "user_ocid"],
+    "kg_host_cves": ["cve_id", "device_id", "vuln_id"],
+    "kg_two_tag_roles": ["firstseen", "id", "lastupdated"],
+    "kg_two_tag_clusters": ["firstseen", "id", "lastupdated"],
+    "kg_two_tag_pods": ["firstseen", "id", "lastupdated"],
+}
+
+_FAM_SEP = "\x1f"   # unit separator; never appears in fixture data
+_FAM_NULL = "\x02"  # NULL sentinel (concat_ws would otherwise skip nulls)
+
+_CONSOLIDATED = frozenset(m for ms in _FAMILIES.values() for m in ms)
+
+
+def _family_query(members: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        fns = _member_queries()
+        out = None
+        for name in members:
+            df = fns[name](spark, sf_dir)
+            cols = _FAMILY_COLS[name]
+            # loud drift guard: the static column map feeds BOTH engines
+            assert sorted(df.columns) == cols, (name, sorted(df.columns), cols)
+            row = F.concat_ws(
+                _FAM_SEP,
+                *[F.coalesce(F.col(c).cast("string"), F.lit(_FAM_NULL)) for c in cols],
+            )
+            part = df.select(F.lit(name).alias("q"), row.alias("row_str"))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return q
+
+
+def _family_sql(members: list[str], member_sqls: dict[str, str]) -> str:
+    parts = []
+    for name in members:
+        exprs = ", ".join(
+            f"COALESCE(CAST(t.{c} AS VARCHAR), chr(2))" for c in _FAMILY_COLS[name]
+        )
+        parts.append(
+            f"SELECT '{name}' AS q, concat_ws(chr(31), {exprs}) AS row_str\n"
+            f"FROM ({member_sqls[name]}) t"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    members = _member_queries()
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        fam: _family_query(ms) for fam, ms in _FAMILIES.items()
+    }
+    for name, fn in members.items():
+        if name not in _CONSOLIDATED:
+            out[name] = fn
+    assert len(out) <= 50, f"driver gate checks 50 entries; have {len(out)}"
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    member_sqls = _member_oracle_sql()
+    out: dict[str, str] = {
+        fam: _family_sql(ms, member_sqls) for fam, ms in _FAMILIES.items()
+    }
+    for name, sql in member_sqls.items():
+        if name not in _CONSOLIDATED:
+            out[name] = sql
+    return out

@@ -10,7 +10,13 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
 
-SAMPLE = ["kg_accounts", "kg_mentions", "text_fingerprint", "dedup_prefix", "kg_exposure"]
+SAMPLE = [
+    "kg_aws_core_family",  # family consolidation: encoding parity end-to-end
+    "kg_mentions",
+    "text_fingerprint",
+    "dedup_prefix",
+    "kg_exposure",
+]
 
 
 def _con(sf_dir):
@@ -34,9 +40,26 @@ def test_entry_runs_and_returns_rows(spark):
 def test_every_query_has_callable(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 30
+    assert 30 <= len(qs) <= 50  # the driver gate checks the first 50 entries
     missing_oracle = set(qs) - set(oracles)
     assert missing_oracle <= {"sim_ann_lsh"}  # approximate op: rows-only
+
+
+def test_family_consolidation_covers_every_member():
+    """No member query or oracle may be silently dropped by consolidation."""
+    members = entrymod._member_queries()
+    member_sqls = entrymod._member_oracle_sql()
+    qs = entrymod.queries()
+    consolidated = set(entrymod._CONSOLIDATED)
+    # every member is either standalone in queries() or inside exactly one family
+    in_families = [m for ms in entrymod._FAMILIES.values() for m in ms]
+    assert len(in_families) == len(set(in_families))  # no double membership
+    assert set(in_families) == consolidated
+    assert set(members) == consolidated | (set(qs) - set(entrymod._FAMILIES))
+    # every consolidated member has an oracle and a static column map
+    for m in consolidated:
+        assert m in member_sqls, m
+        assert m in entrymod._FAMILY_COLS, m
 
 
 @pytest.mark.parametrize("name", SAMPLE)
