@@ -18,10 +18,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# -- steal-aware measurement guard -------------------------------------------
+# This sandbox VM shares a host: neighbor-tenant CPU-steal bursts inflate
+# wall times uniformly across unrelated code paths (round 3's only bench
+# anomaly was exactly that signature).  Every query window samples
+# /proc/stat steal; a window with steal above the threshold is retried and,
+# failing that, marked contaminated in the output so a reader can separate
+# plan regressions from host noise.
+
+STEAL_THRESHOLD = 0.02  # fraction of the window's cpu ticks
+MAX_ATTEMPTS = 3
+
+
+def _cpu_sample() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    # user nice system idle iowait irq softirq steal
+    return sum(vals[:8]), vals[7]
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load1_start = _load1()
 
     from cartography_spark.session import get_spark
 
@@ -86,10 +110,29 @@ def main():
         ]:
             qs[_wname](spark, warm_dir).count()
 
+    steal_pct: dict[str, float] = {}
+    attempts: dict[str, int] = {}
+    contaminated: list[str] = []
+
     def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best_t, best_steal = None, None
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            c0, s0 = _cpu_sample()
+            t0 = time.time()
+            fn()
+            t = round(time.time() - t0, 3)
+            c1, s1 = _cpu_sample()
+            steal = (s1 - s0) / max(c1 - c0, 1)
+            if best_t is None or t < best_t:
+                best_t, best_steal = t, steal
+            attempts[name] = attempt
+            if steal <= STEAL_THRESHOLD:
+                best_t, best_steal = t, steal
+                break
+        else:
+            contaminated.append(name)
+        timings[name] = best_t
+        steal_pct[name] = round(best_steal * 100, 2)
 
     # 1. flagship documents path: synth -> extract -> link -> canonicalize ->
     #    MENTIONS triples (the docs/sec metric)
@@ -170,6 +213,18 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "docs_per_sec": docs_per_sec,
                 "cpus": int(cpus),
+                # steal-aware guard telemetry: per-query steal fraction of
+                # the measured window (percent), attempts used (retried when
+                # steal > threshold), and queries that never saw a clean
+                # window (their timings are upper bounds, not engine cost)
+                "steal_pct": steal_pct,
+                "attempts": attempts,
+                "contaminated": contaminated,
+                "load1_start": load1_start,
+                "steal_guard": {
+                    "threshold_pct": STEAL_THRESHOLD * 100,
+                    "max_attempts": MAX_ATTEMPTS,
+                },
             }
         )
     )
