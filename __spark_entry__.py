@@ -216,6 +216,47 @@ def _q_kg_permission_can_read(spark, sf_dir):
     ).select("principal_arn", "resource_arn")
 
 
+def _q_kg_asset_properties(spark, sf_dir):
+    """Property-predicate analysis over the reference's high-traffic schema
+    properties (models/aws/ec2/instances.py state/launchtime/publicipaddress,
+    intel/aws/s3.py encryption fields, AWSRole path/createdate): hygiene
+    findings a cartography user writes against those fields.  Predicates run
+    against the COMPILED node props (the graph property bag), proving the
+    schemas carry the fields, not just the fixtures."""
+    from cartography_spark.core.loader import compile_nodes
+    from cartography_spark.modules.aws_ec2 import EC2_INSTANCE_SCHEMA
+    from cartography_spark.modules.aws_iam import ROLE_SCHEMA
+    from cartography_spark.modules.aws_s3 import S3_BUCKET_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    inst = compile_nodes(fx.ec2_instances(spark, sf_dir), EC2_INSTANCE_SCHEMA, T1)
+    stopped_public = inst.where(
+        "props['state'] = 'stopped' AND props['publicipaddress'] IS NOT NULL"
+    ).select(
+        "id",
+        F.lit("stopped_with_public_ip").alias("finding"),
+        F.element_at("props", "publicipaddress").alias("detail"),
+    )
+    buckets = compile_nodes(fx.s3_buckets(spark, sf_dir), S3_BUCKET_SCHEMA, T1)
+    unencrypted = buckets.where("props['default_encryption'] = 'false'").select(
+        "id",
+        F.lit("unencrypted_bucket").alias("finding"),
+        F.element_at("props", "versioning_status").alias("detail"),
+    )
+    roles = compile_nodes(
+        fx.iam_roles(spark, sf_dir).drop("trust_principals"), ROLE_SCHEMA, T1
+    )
+    early_service = roles.where(
+        "props['path'] = '/service-role/'"
+        " AND CAST(props['createdate'] AS BIGINT) < 1500050000"
+    ).select(
+        "id",
+        F.lit("early_service_role").alias("finding"),
+        F.element_at("props", "createdate").alias("detail"),
+    )
+    return stopped_public.unionByName(unencrypted).unionByName(early_service)
+
+
 def _q_kg_permission_registry(spark, sf_dir):
     """Config-only permission mapping: the CAN_SEND row exists ONLY in
     data/permission_relationships.json (reference parity: users extend
@@ -1955,6 +1996,7 @@ def _member_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_permission_can_read": _q_kg_permission_can_read,
         "kg_permission_can_list": _q_kg_permission_can_list,
         "kg_permission_registry": _q_kg_permission_registry,
+        "kg_asset_properties": _q_kg_asset_properties,
         "kg_two_tag_users": _q_kg_two_tag_users,
         "kg_two_tag_roles": _q_kg_two_tag_roles,
         "kg_two_tag_clusters": _q_kg_two_tag_clusters,
@@ -2204,6 +2246,25 @@ def _member_oracle_sql() -> dict[str, str]:
               AND (s.s_suppkey % 5 = 0
                    OR b.arn LIKE replace('arn:aws:s3:::bucket-' || CAST(s.s_suppkey % 20 AS VARCHAR) || '*', '*', '%'))
               AND NOT (s.s_suppkey % 7 = 0 AND b.arn LIKE 'arn:aws:s3:::bucket-3%')
+        """,
+        # property-predicate hygiene findings over the new high-traffic
+        # schema properties (state/publicipaddress, default_encryption,
+        # path/createdate)
+        "kg_asset_properties": f"""
+            SELECT 'i-' || CAST(s_suppkey AS VARCHAR) AS id,
+                   'stopped_with_public_ip' AS finding,
+                   '54.0.0.' || CAST(s_suppkey % 250 AS VARCHAR) AS detail
+            FROM supplier WHERE s_suppkey % 4 = 0 AND s_suppkey % 5 = 0
+            UNION ALL
+            SELECT 'arn:aws:s3:::bucket-' || CAST(b AS VARCHAR) AS id,
+                   'unencrypted_bucket' AS finding,
+                   CASE WHEN b % 2 = 0 THEN 'Enabled' ELSE 'Suspended' END AS detail
+            FROM (SELECT DISTINCT p_partkey % 20 AS b FROM part) WHERE b % 3 = 0
+            UNION ALL
+            SELECT 'arn:aws:iam::' || {ACCT.format(k='s_nationkey')} || ':role/role-' || CAST(s_suppkey AS VARCHAR) AS id,
+                   'early_service_role' AS finding,
+                   CAST(1500000000 + s_suppkey * 1000 AS VARCHAR) AS detail
+            FROM supplier WHERE s_suppkey % 6 = 0 AND 1500000000 + s_suppkey * 1000 < 1500050000
         """,
         # config-only mapping: suppliers s%3==0 hold sqs:SendMessage on
         # arn:aws:sqs:us-east-1:<their acct>:* — pairs with every queue in

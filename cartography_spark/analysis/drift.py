@@ -51,3 +51,107 @@ def drift_between_states(spark, state_dir: str, name: str, tag_a: int, tag_b: in
         load_state(spark, state_dir, name, tag_a),
         load_state(spark, state_dir, name, tag_b),
     )
+
+
+class DriftArchive:
+    """Multi-state drift archive — the reference's drift-detection directory
+    lifecycle (driftdetect/cli.py, get_states.py, storage.py): a root
+    directory holds one subdirectory per *detector*; each run archives a new
+    state under the run's update tag; reports diff two archived states
+    (defaulting to the two most recent, like `cartography-detectdrift
+    get-drift` with no explicit states); shortcuts alias human names to
+    state tags (reference add-shortcut maps alias -> state filename).
+
+    States are parquet (columnar, schema'd) instead of the reference's JSON
+    row lists; everything else follows the same add-state -> report cycle.
+    """
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- add-state (get_states.run_get_states analog) -----------------------
+
+    def get_state(self, detectors: dict[str, DataFrame], tag: int) -> dict[str, str]:
+        """Archive the current result of every detector query under ``tag``.
+        ``detectors`` maps detector name -> its result DataFrame (the
+        reference runs each detector directory's validation_query; callers
+        here pass the equivalent DataFrame queries over the graph store)."""
+        return {
+            name: save_state(df, self.root, name, tag)
+            for name, df in detectors.items()
+        }
+
+    # -- state enumeration (storage.FileSystem.walk analog) ------------------
+
+    def states(self, name: str) -> list[int]:
+        """Archived tags for one detector, ascending."""
+        import os
+        import re
+
+        d = f"{self.root}/{name}"
+        if not os.path.isdir(d):
+            return []
+        tags = []
+        for entry in os.listdir(d):
+            m = re.fullmatch(r"tag=(\d+)", entry)
+            if m:
+                tags.append(int(m.group(1)))
+        return sorted(tags)
+
+    def detectors(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            e for e in os.listdir(self.root)
+            if os.path.isdir(f"{self.root}/{e}") and not e.startswith("_")
+        )
+
+    # -- shortcuts (cli add-shortcut analog) ---------------------------------
+
+    def add_shortcut(self, name: str, alias: str, tag: int) -> None:
+        import json
+        import os
+
+        if tag not in self.states(name):
+            raise ValueError(f"detector {name} has no archived state tag={tag}")
+        path = f"{self.root}/{name}/_shortcuts.json"
+        cur = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = json.load(f)
+        cur[alias] = tag
+        with open(path, "w") as f:
+            json.dump(cur, f)
+
+    def resolve(self, name: str, state) -> int:
+        """A state reference is a tag int or a shortcut alias."""
+        if isinstance(state, int):
+            return state
+        import json
+        import os
+
+        path = f"{self.root}/{name}/_shortcuts.json"
+        if os.path.exists(path):
+            with open(path) as f:
+                shortcuts = json.load(f)
+            if state in shortcuts:
+                return int(shortcuts[state])
+        raise KeyError(f"unknown drift state '{state}' for detector {name}")
+
+    # -- report (cli get-drift / report_drift analog) ------------------------
+
+    def report(self, name: str, start=None, end=None) -> DataFrame:
+        """Drift between two archived states; with no states named, the two
+        most recent archives are compared (reference default)."""
+        tags = self.states(name)
+        if start is None or end is None:
+            if len(tags) < 2:
+                raise ValueError(f"detector {name} needs >=2 archived states")
+            start, end = tags[-2], tags[-1]
+        return drift_between_states(
+            self.spark, self.root, name,
+            self.resolve(name, start), self.resolve(name, end),
+        )

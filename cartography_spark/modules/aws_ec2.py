@@ -44,6 +44,11 @@ EC2_INSTANCE_SCHEMA = NodeSchema(
         "listener_port": PropertyRef("listener_port"),
         "account_id": PropertyRef("account_id"),
         "iaminstanceprofile": PropertyRef("iaminstanceprofile"),
+        # reference models/aws/ec2/instances.py high-traffic properties
+        "state": PropertyRef("state"),
+        "launchtime": PropertyRef("launchtime"),
+        "instancetype": PropertyRef("instancetype"),
+        "publicipaddress": PropertyRef("publicipaddress"),
     },
     sub_resource_rel=account_resource_rel(),
     other_rels=(

@@ -58,7 +58,13 @@ ROLE_SCHEMA = NodeSchema(
     label="AWSRole",
     id=PropertyRef("arn"),
     extra_labels=("AWSPrincipal",),
-    properties={"name": PropertyRef("name"), "account_id": PropertyRef("account_id")},
+    properties={
+        "name": PropertyRef("name"),
+        "account_id": PropertyRef("account_id"),
+        # reference AWSRole schema high-traffic properties
+        "path": PropertyRef("path"),
+        "createdate": PropertyRef("createdate"),
+    },
     sub_resource_rel=account_resource_rel(),
 )
 

@@ -27,7 +27,14 @@ from cartography_spark.modules.aws_base import account_resource_rel
 S3_BUCKET_SCHEMA = NodeSchema(
     label="S3Bucket",
     id=PropertyRef("arn"),
-    properties={"name": PropertyRef("name"), "account_id": PropertyRef("account_id")},
+    properties={
+        "name": PropertyRef("name"),
+        "account_id": PropertyRef("account_id"),
+        # reference intel/aws/s3.py encryption/versioning fields
+        "default_encryption": PropertyRef("default_encryption"),
+        "encryption_algorithm": PropertyRef("encryption_algorithm"),
+        "versioning_status": PropertyRef("versioning_status"),
+    },
     sub_resource_rel=account_resource_rel(),
 )
 

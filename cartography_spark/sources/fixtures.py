@@ -190,6 +190,12 @@ def iam_roles(spark: SparkSession, sf_dir: str, variant: str = "t1") -> DataFram
         F.when((F.col("s_suppkey") % 10) == 9, F.concat(base, F.array(foreign_p)))
         .otherwise(base)
         .alias("trust_principals"),
+        # reference AWSRole high-traffic properties (models/aws/iam role
+        # schema: path, createdate) — every 6th is a service role
+        F.when((F.col("s_suppkey") % 6) == 0, F.lit("/service-role/"))
+        .otherwise(F.lit("/"))
+        .alias("path"),
+        (F.lit(1500000000) + F.col("s_suppkey") * 1000).cast("long").alias("createdate"),
     )
 
 
@@ -223,6 +229,14 @@ def s3_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("arn:aws:s3:::bucket-"), F.col("b").cast("string")).alias("arn"),
             F.concat(F.lit("bucket-"), F.col("b").cast("string")).alias("name"),
             _acct(F.col("b") % 5).alias("account_id"),
+            # encryption/versioning flags (reference intel/aws/s3.py
+            # _load_s3_encryption / versioning: default_encryption,
+            # encryption_algorithm, versioning_status)
+            ((F.col("b") % 3) != 0).cast("string").alias("default_encryption"),
+            F.when((F.col("b") % 3) != 0, F.lit("aws:kms")).alias("encryption_algorithm"),
+            F.when((F.col("b") % 2) == 0, F.lit("Enabled"))
+            .otherwise(F.lit("Suspended"))
+            .alias("versioning_status"),
         )
     )
 
@@ -534,6 +548,20 @@ def ec2_instances(spark: SparkSession, sf_dir: str, variant: str = "t1") -> Data
                 F.lit(":instance-profile/role-"), F.col("s_suppkey").cast("string"),
             ),
         ).alias("iaminstanceprofile"),
+        # high-traffic reference properties (models/aws/ec2/instances.py:
+        # state, launchtime, instancetype, publicipaddress)
+        F.when((F.col("s_suppkey") % 4) == 0, F.lit("stopped"))
+        .otherwise(F.lit("running"))
+        .alias("state"),
+        (F.lit(1600000000) + F.col("s_suppkey") * 86400).cast("long").alias("launchtime"),
+        F.element_at(
+            F.array(F.lit("m5.large"), F.lit("c5.xlarge"), F.lit("t3.micro")),
+            (F.col("s_suppkey") % 3).cast("int") + 1,
+        ).alias("instancetype"),
+        F.when(
+            (F.col("s_suppkey") % 5) == 0,
+            F.concat(F.lit("54.0.0."), (F.col("s_suppkey") % 250).cast("string")),
+        ).alias("publicipaddress"),
     )
 
 

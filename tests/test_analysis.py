@@ -108,6 +108,55 @@ def test_drift_states_roundtrip(spark, tmp_path):
     assert got == {("z", "3", "new"), ("y", "2", "missing")}
 
 
+def test_drift_archive_lifecycle(spark, tmp_path):
+    """Reference driftdetect/cli.py multi-archive workflow: add-state per
+    run across several detectors, report defaults to the two most recent
+    states, shortcuts alias names to archived tags."""
+    from cartography_spark.analysis.drift import DriftArchive
+
+    arch = DriftArchive(spark, str(tmp_path))
+    T3 = 333333333
+
+    def users(rows):
+        return spark.createDataFrame(rows, ["id", "path"])
+
+    def roles(rows):
+        return spark.createDataFrame(rows, ["arn"])
+
+    # three runs, two detectors each (get-state analog)
+    arch.get_state({"users": users([("u1", "/"), ("u2", "/")]),
+                    "roles": roles([("r1",)])}, T1)
+    arch.get_state({"users": users([("u1", "/"), ("u3", "/x")]),
+                    "roles": roles([("r1",)])}, T2)
+    arch.get_state({"users": users([("u1", "/"), ("u3", "/y")]),
+                    "roles": roles([("r1",), ("r2",)])}, T3)
+
+    assert arch.detectors() == ["roles", "users"]
+    assert arch.states("users") == [T1, T2, T3]
+
+    # default report = two most recent (T2 vs T3)
+    got = {(r.id, r.path, r.direction) for r in arch.report("users").collect()}
+    assert got == {("u3", "/y", "new"), ("u3", "/x", "missing")}
+
+    # explicit pair (T1 vs T3)
+    got13 = {(r.id, r.direction) for r in arch.report("users", T1, T3).collect()}
+    assert got13 == {("u2", "missing"), ("u3", "new")}
+
+    # shortcuts resolve to tags inside report
+    arch.add_shortcut("roles", "baseline", T1)
+    arch.add_shortcut("roles", "latest", T3)
+    got_roles = {(r.arn, r.direction) for r in arch.report("roles", "baseline", "latest").collect()}
+    assert got_roles == {("r2", "new")}
+
+    # unknown shortcut / unarchived tag fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        arch.report("roles", "nope", "latest")
+    with _pytest.raises(ValueError):
+        arch.add_shortcut("roles", "bad", 12345)
+
+
 def test_split_multi_value(spark):
     df = spark.createDataFrame([("a|b|c",)], ["vals"])
     row = split_multi_value(df, "vals").collect()[0]

@@ -167,9 +167,17 @@ def test_rpr_mapping_file(spark):
     from cartography_spark.modules.permissions import load_permission_mappings
 
     mappings = load_permission_mappings()
-    assert {m["relationship_name"] for m in mappings} == {"CAN_READ", "CAN_LIST"}
+    assert {m["relationship_name"] for m in mappings} == {
+        "CAN_READ",
+        "CAN_LIST",
+        "CAN_SEND",  # config-only mapping (round 4): no code path names it
+    }
+    by_rel = {m["relationship_name"]: m for m in mappings}
+    assert by_rel["CAN_READ"]["target_label"] == "S3Bucket"
+    assert by_rel["CAN_LIST"]["target_label"] == "S3Bucket"
+    assert by_rel["CAN_SEND"]["target_label"] == "SQSQueue"
     for m in mappings:
-        assert m["permissions"] and m["target_label"] == "S3Bucket"
+        assert m["permissions"]
 
 
 def test_upsert_props_merge_per_key(spark, store):
