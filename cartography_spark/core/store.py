@@ -646,6 +646,13 @@ def _fold_batches(dfs, key_cols: list[str], last_cols: list[str], out_cols: list
     compilers guarantee (compile_nodes dedupes; edge builders dropDuplicates).
     """
     parts = [df.selectExpr("*", f"CAST({i} AS INT) AS _seq") for i, df in enumerate(dfs)]
+    return _fold_stamped(parts, key_cols, last_cols, out_cols)
+
+
+def _fold_stamped(parts, key_cols: list[str], last_cols: list[str], out_cols: list[str]) -> DataFrame:
+    """:func:`_fold_batches` body over frames that already carry their
+    sequential ``_seq`` stamp — lets the flush path group pre-stamped batch
+    plans into chunk checkpoints without losing stage ordering."""
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
@@ -826,28 +833,115 @@ class BufferedSyncStore:
         with ThreadPoolExecutor(max_workers=min(16, len(raw))) as ex:
             list(ex.map(_ckpt, raw))
 
+    # Never-read batches are materialized at flush in UNION CHUNKS of this
+    # many plans per checkpoint job: per-batch jobs pay ~0.3-0.7s of fixed
+    # scheduling latency each (~125 never-read batches in a full sync), while
+    # ONE giant fold action serializes through AQE stage-at-a-time (the
+    # measured round-3 failure mode).  Chunks bound both: ~16 moderate jobs,
+    # thread-pooled.
+    FLUSH_CHUNK = int(os.environ.get("SPARK_GRAFT_FLUSH_CHUNK", "8"))
+
     def flush(self) -> None:
         self._view_cache.clear()
         if not self._stages:
             return
-        # Materialize still-raw batches CONCURRENTLY before folding (see
-        # _materialize) — without this, ~90 module batch plans serialize
-        # through AQE's stage-at-a-time scheduling inside one giant fold
-        # action and the first flush dominates the sync.
-        self._materialize(self._pend["nodes"] + self._pend["edges"])
         tables = {}
+        chunk_jobs: list[list] = []  # pending chunk unions, both tables
+        folds: dict[str, object] = {}
         for sub in ("nodes", "edges"):
             entries = self._pend[sub]
-            # already-checkpointed batches feed the flush from memory; never-
-            # read ones execute their plan here, exactly once
-            dfs = [e["ckpt"] if e["ckpt"] is not None else e["df"] for e in entries]
-            tables[sub] = self._fold(sub, dfs) if dfs else None
+            if not entries:
+                tables[sub] = None
+                continue
+            if len(entries) == 1:
+                e = entries[0]
+                tables[sub] = e["ckpt"] if e["ckpt"] is not None else e["df"]
+                continue
+            # stamp every batch with its stage sequence BEFORE grouping so
+            # chunked unions keep sequential-upsert conflict order
+            stamped_ready, raw_run = [], []
+            for i, e in enumerate(entries):
+                df = e["ckpt"] if e["ckpt"] is not None else e["df"]
+                sdf = df.selectExpr("*", f"CAST({i} AS INT) AS _seq")
+                if e["ckpt"] is not None:
+                    stamped_ready.append(sdf)
+                else:
+                    raw_run.append(sdf)
+            chunks = [
+                raw_run[i : i + self.FLUSH_CHUNK]
+                for i in range(0, len(raw_run), self.FLUSH_CHUNK)
+            ]
+            folds[sub] = (stamped_ready, chunks)
+
+        # checkpoint all chunks of both tables concurrently (each chunk is a
+        # union of <=FLUSH_CHUNK already-independent batch plans — one job)
+        all_chunks = [c for _, chunks in folds.values() for c in chunks]
+        ckpts: dict[int, object] = {}
+        if all_chunks:
+            def _union_ckpt(chunk):
+                u = chunk[0]
+                for p in chunk[1:]:
+                    u = u.unionByName(p)
+                return u.localCheckpoint(eager=True)
+
+            if len(all_chunks) == 1:
+                ckpts[0] = _union_ckpt(all_chunks[0])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(16, len(all_chunks))) as ex:
+                    for i, out in enumerate(ex.map(_union_ckpt, all_chunks)):
+                        ckpts[i] = out
+
+        ci = 0
+        for sub, (stamped_ready, chunks) in folds.items():
+            parts = list(stamped_ready)
+            for _ in chunks:
+                parts.append(ckpts[ci])
+                ci += 1
+            if sub == "nodes":
+                tables[sub] = _fold_stamped(
+                    parts, ["label", "id"], ["extra_labels"],
+                    [f.name for f in NODES_SCHEMA.fields],
+                )
+            else:
+                tables[sub] = _fold_stamped(
+                    parts, EDGE_KEY, ["src_label", "dst_label"],
+                    [f.name for f in EDGES_SCHEMA.fields],
+                )
         stages, tag = self._stages, self._tag
         self._pend = {"nodes": [], "edges": []}
         self._stages, self._tag = [], None
         self._store.upsert(tables["nodes"], tables["edges"], stages, tag)
 
     # -- merged read views ----------------------------------------------------
+
+    def _no_committed_slices(self, sub: str, labels) -> bool:
+        """True when the committed store holds NO slice for the requested
+        labels (manifest lookup — no Spark work).  During a T1 sync every
+        module-phase read happens before the first flush, so this is the
+        COMMON case: the merge view over (empty committed x pending) can
+        skip both merge joins entirely."""
+        man = self._store._manifest(self._store._current_version())
+        committed = man.get(sub, {})
+        if not committed:
+            return True
+        if labels is None:
+            return False
+        return not any(lbl in committed for lbl in labels)
+
+    @staticmethod
+    def _resolve_pending(pending, tag):
+        """What merge_nodes/merge_edges produce when the committed side is
+        empty, without the joins: every pending row is a MERGE miss, so
+        firstseen resolves to the tag and props get the empty-map->NULL
+        normalization of _merge_props(NULL, props)."""
+        return pending.withColumn(
+            "firstseen", F.coalesce(F.col("firstseen"), F.lit(int(tag)))
+        ).withColumn(
+            "props",
+            _merge_props(F.lit(None).cast("map<string,string>"), F.col("props")),
+        )
 
     def nodes(self, version=None, labels=None):
         if version is not None:
@@ -858,6 +952,8 @@ class BufferedSyncStore:
         pending = self._pending_view("nodes", labels)
         if pending is None:
             view = self._store.nodes(labels=labels)
+        elif self._no_committed_slices("nodes", labels):
+            view = self._resolve_pending(pending, self._tag)
         else:
             view = self._store.merge_nodes(
                 self._store.nodes(labels=labels), pending, self._tag
@@ -874,6 +970,8 @@ class BufferedSyncStore:
         pending = self._pending_view("edges", rel_labels)
         if pending is None:
             view = self._store.edges(rel_labels=rel_labels)
+        elif self._no_committed_slices("edges", rel_labels):
+            view = self._resolve_pending(pending, self._tag)
         else:
             view = self._store.merge_edges(
                 self._store.edges(rel_labels=rel_labels), pending, self._tag

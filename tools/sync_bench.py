@@ -27,6 +27,25 @@ def main():
     from cartography_spark.kg.pipeline import run_sync
     from cartography_spark.session import get_spark
 
+    def _steal():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v[:8]), v[7]
+
+    steal = {}
+
+    def stealwin(name):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            c0, s0 = _steal()
+            yield
+            c1, s1 = _steal()
+            steal[name] = round((s1 - s0) / max(c1 - c0, 1) * 100, 2)
+
+        return cm()
+
     spark = get_spark(app_name="sync_bench", master=f"local[{cpus}]")
     for t in ["nation", "customer", "supplier", "part", "region", "documents"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
@@ -36,18 +55,21 @@ def main():
     try:
         store = GraphStore(spark, root)
         t0 = time.time()
-        r1 = run_sync(spark, store, sf_dir, 111111111)
+        with stealwin("t1"):
+            r1 = run_sync(spark, store, sf_dir, 111111111)
         out["t1_full_sync_sec"] = round(time.time() - t0, 2)
         out["t1_nodes"], out["t1_edges"] = r1.node_count, r1.edge_count
         out["t1_commits"] = r1.version
 
         t0 = time.time()
-        run_sync(spark, store, sf_dir, 111111111)  # resume: all stages skip
+        with stealwin("resume"):
+            run_sync(spark, store, sf_dir, 111111111)  # resume: all stages skip
         out["resume_noop_sec"] = round(time.time() - t0, 2)
 
         v_before = store._current_version()
         t0 = time.time()
-        r2 = run_sync(spark, store, sf_dir, 222222222, variant="t2")
+        with stealwin("t2"):
+            r2 = run_sync(spark, store, sf_dir, 222222222, variant="t2")
         out["t2_incremental_sec"] = round(time.time() - t0, 2)
         out["t2_commits"] = r2.version - v_before
         out["t2_nodes"], out["t2_edges"] = r2.node_count, r2.edge_count
@@ -71,7 +93,8 @@ def main():
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    out.update({"metric": "staged_sync", "unit": "sec", "sf": sf_dir, "cpus": int(cpus)})
+    out.update({"metric": "staged_sync", "unit": "sec", "sf": sf_dir, "cpus": int(cpus),
+                "steal_pct": steal})
     print(json.dumps(out))
 
 
