@@ -828,6 +828,13 @@ def _q_text_quality(spark, sf_dir):
     return quality_score(read_table(spark, sf_dir, "documents"))
 
 
+def _q_text_repetition(spark, sf_dir):
+    from cartography_spark.ops.textstats import repetition_stats
+    from cartography_spark.sources.fixtures import read_table
+
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
 def _q_text_langid(spark, sf_dir):
     from cartography_spark.ops.textstats import language_id
     from cartography_spark.sources.fixtures import read_table
@@ -2022,6 +2029,7 @@ def _member_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_accounts": _q_kg_accounts,
         "events_sessions": _q_events_sessions,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
         "kg_tagged_edges": _q_kg_tagged_edges,
         "kg_ec2_sg_members": _q_kg_ec2_sg_members,
         "kg_ec2_rule_ranges": _q_kg_ec2_rule_ranges,
@@ -3255,6 +3263,24 @@ def _member_oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT *, (n_tokens >= 5 AND stopword_ratio >= 0.01 AND uniq_token_ratio >= 0.2) AS quality_ok FROM q
+        """,
+        "text_repetition": f"""
+            WITH t AS ({SQL_TOKS}),
+            b AS (
+              SELECT doc_id, toks,
+                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigs
+              FROM t
+            ),
+            r AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     round(CAST(list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks), 4) AS top_token_fraction,
+                     CASE WHEN len(bigs) > 0
+                          THEN round(CAST(list_max(list_transform(list_distinct(bigs), u -> len(list_filter(bigs, x -> x = u)))) AS DOUBLE) / len(bigs), 4)
+                          ELSE 0.0 END AS top_bigram_fraction
+              FROM b
+            )
+            SELECT *, (top_token_fraction <= 0.2 AND top_bigram_fraction <= 0.18) AS repetition_ok FROM r
         """,
         "text_langid": f"""
             WITH t AS ({SQL_TOKS})

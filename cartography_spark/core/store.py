@@ -846,7 +846,6 @@ class BufferedSyncStore:
         if not self._stages:
             return
         tables = {}
-        chunk_jobs: list[list] = []  # pending chunk unions, both tables
         folds: dict[str, object] = {}
         for sub in ("nodes", "edges"):
             entries = self._pend[sub]

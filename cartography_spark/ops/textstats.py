@@ -79,6 +79,52 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition screens (Rae et al. 2021, app. A1.1): the
+    most repetitive web documents are boilerplate/spam; flag docs whose
+    single most frequent token or adjacent bigram covers too much of the
+    text.
+
+    doc_id, n_tokens, top_token_fraction, top_bigram_fraction, repetition_ok.
+
+    All JVM-native higher-order functions, zero shuffle: the per-row
+    O(distinct × n) scan beats explode + groupBy + window (which shuffles
+    10^12 × doc_len rows) for bounded doc lengths.  For book-length docs
+    swap in the explode variant — the flag semantics are identical.
+    """
+    t = with_tokens(docs)
+    nb = "greatest(size(tokens) - 1, 0)"
+    t = t.withColumn(
+        "bigrams",
+        F.expr(
+            f"zip_with(slice(tokens, 1, {nb}), slice(tokens, 2, {nb}),"
+            " (a, b) -> concat(a, ' ', b))"
+        ),
+    )
+
+    def top_frac(col: str) -> F.Column:
+        return F.round(
+            F.array_max(
+                F.expr(f"transform(array_distinct({col}), t -> size(filter({col}, x -> x = t)))")
+            )
+            / F.size(col).cast("double"),
+            4,
+        )
+
+    out = t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        top_frac("tokens").alias("top_token_fraction"),
+        F.when(F.size("bigrams") > 0, top_frac("bigrams"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_fraction"),
+    )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("top_token_fraction") <= 0.2) & (F.col("top_bigram_fraction") <= 0.18),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprints:
     * content_fp — md5 of whitespace-normalized lowercased text (exact dup key)

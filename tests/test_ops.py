@@ -255,3 +255,26 @@ def test_hash_sample_deterministic_and_stratified(spark, docs):
     en_strat = strat.where(F.col("lang") == "en").select("doc_id")
     en_glob = s1.where(F.col("lang") == "en").select("doc_id")
     assert en_strat.exceptAll(en_glob).count() == 0
+
+
+def test_repetition_stats_known_values_and_plan(spark):
+    from cartography_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),          # top token a: 4/5; bigram 'a a': 3/4
+            (2, "a b c d e f g h i j k l"),  # all distinct: 1/12; bigrams 1/11
+            (3, "solo",),              # single token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].top_token_fraction == 0.8
+    assert rows[1].top_bigram_fraction == 0.75
+    assert not rows[1].repetition_ok
+    assert rows[2].top_token_fraction == 0.0833
+    assert rows[2].repetition_ok
+    assert rows[3].n_tokens == 1 and rows[3].top_bigram_fraction == 0.0
+    # zero-shuffle invariant: the whole op is per-row higher-order functions
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
