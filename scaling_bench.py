@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -344,8 +345,23 @@ oracle parity path), policy evaluation transfers per-principal resource
 ARRAYS across Arrow instead of per-pair rows.
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # Replace ONLY this tool's section; BASELINE.md also carries headline-
+    # bench, staged-sync, and analysis sections written by other tools and
+    # by hand — a full overwrite would destroy them.
+    path = "BENCH/BASELINE.md"
+    section = md.split("\n", 2)[2].lstrip("\n")  # drop the file title
+    if os.path.exists(path):
+        existing = open(path).read()
+        parts = re.split(r"(?m)^(?=## )", existing)
+        head, keep = parts[0], [
+            p for p in parts[1:]
+            if not p.startswith("## Two-parallelism scaling")
+        ]
+        out = head + section.rstrip("\n") + "\n\n" + "".join(keep)
+    else:
+        out = md
+    with open(path, "w") as f:
+        f.write(out.rstrip("\n") + "\n")
 
 
 if __name__ == "__main__":

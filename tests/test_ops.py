@@ -278,3 +278,57 @@ def test_repetition_stats_known_values_and_plan(spark):
     # zero-shuffle invariant: the whole op is per-row higher-order functions
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_matches_sql_oracle_and_invariants(spark, docs):
+    import duckdb
+
+    from cartography_spark.ops.packing import pack_sequences, pack_stats
+
+    placed = pack_sequences(docs, seq_len=64).toPandas()
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = con.execute(
+        """
+        WITH t AS (
+          SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT *, SUM(n_tokens) OVER (
+                      PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t
+        )
+        SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               CAST((cum_tokens - n_tokens) // 64 AS BIGINT) AS seq_first,
+               CAST((cum_tokens - n_tokens) % 64 AS BIGINT) AS seq_offset,
+               CAST((cum_tokens - 1) // 64 - (cum_tokens - n_tokens) // 64 + 1
+                    AS BIGINT) AS n_seqs_spanned
+        FROM c
+        """
+    ).df()
+    cols = sorted(placed.columns)
+    a = placed[cols].sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = exp[cols].sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    # placement is a bijection onto the token stream: within each stream,
+    # consecutive docs are contiguous (prev cum == next start)
+    import pandas as pd
+
+    for _, g in a.groupby("source"):
+        g = g.sort_values("doc_id")
+        starts = (g.cum_tokens - g.n_tokens).tolist()
+        assert starts == [0] + g.cum_tokens.tolist()[:-1]
+
+    # partitioning invariance: same placement at a different parallelism
+    re = pack_sequences(docs.repartition(7), seq_len=64).toPandas()
+    re = re[cols].sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert re.equals(a)
+
+    stats = {r.source: r for r in pack_stats(docs, seq_len=64).collect()}
+    for src, r in stats.items():
+        assert r.n_sequences == -(-r.total_tokens // 64)
+        assert 0 < r.fill_ratio <= 1.0
