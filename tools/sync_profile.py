@@ -64,17 +64,27 @@ def main():
     R.run_analysis_jobs = timed("analysis:run_analysis_jobs", R.run_analysis_jobs)
     P.run_cleanup = timed("cleanup", P.run_cleanup)
 
-    spark = get_spark(app_name="sync_profile", master=f"local[{cpus}]")
-    root = tempfile.mkdtemp(prefix="sync_profile_")
-    t0 = time.time()
-    try:
-        P.run_sync(spark, GraphStore(spark, root), sf_dir, 111111111)
-    finally:
-        total = time.time() - t0
-        print(f"\nTOTAL t1: {total:.1f}s  sf={sf_dir}\n")
+    def report(tag, total):
+        print(f"\nTOTAL {tag}: {total:.1f}s  sf={sf_dir}\n")
         print(f"{'what':55s} {'sec':>8s} {'n':>4s}")
         for k in sorted(TIMES, key=TIMES.get, reverse=True):
             print(f"{k:55s} {TIMES[k]:8.2f} {COUNTS[k]:4d}")
+        TIMES.clear()
+        COUNTS.clear()
+
+    spark = get_spark(app_name="sync_profile", master=f"local[{cpus}]")
+    root = tempfile.mkdtemp(prefix="sync_profile_")
+    try:
+        store = GraphStore(spark, root)
+        t0 = time.time()
+        P.run_sync(spark, store, sf_dir, 111111111)
+        report("t1", time.time() - t0)
+        # incremental pass over the mutated fixture surface — the phase
+        # breakdown T1's empty-committed fast path cannot help
+        t0 = time.time()
+        P.run_sync(spark, store, sf_dir, 222222222, variant="t2")
+        report("t2", time.time() - t0)
+    finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
