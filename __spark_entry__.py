@@ -273,12 +273,21 @@ def _q_kg_permission_registry(spark, sf_dir):
     m = next(
         m for m in load_permission_mappings() if m["relationship_name"] == "CAN_SEND"
     )
-    return evaluate_permissions(
-        fx.iam_policies(spark, sf_dir),
-        fx.iam_policy_statements(spark, sf_dir),
-        fx.sqs_queues(spark, sf_dir).select("arn"),
-        m["permissions"][0],
-    ).select(
+    # reference parity (permission_relationships.py evaluate_policy_for_
+    # permissions): a mapping grants the relationship when ANY of its listed
+    # permissions is allowed — union the per-permission evaluations and
+    # dedupe the pairs, so a second permission added to the JSON config is
+    # honored without code changes.
+    out = None
+    for perm in m["permissions"]:
+        part = evaluate_permissions(
+            fx.iam_policies(spark, sf_dir),
+            fx.iam_policy_statements(spark, sf_dir),
+            fx.sqs_queues(spark, sf_dir).select("arn"),
+            perm,
+        ).select("principal_arn", "resource_arn")
+        out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates(["principal_arn", "resource_arn"]).select(
         "principal_arn",
         "resource_arn",
         F.lit(m["relationship_name"]).alias("rel_label"),
@@ -3739,8 +3748,14 @@ def _family_query(members: list[str]) -> Callable[[SparkSession, str], DataFrame
         for name in members:
             df = fns[name](spark, sf_dir)
             cols = _FAMILY_COLS[name]
-            # loud drift guard: the static column map feeds BOTH engines
-            assert sorted(df.columns) == cols, (name, sorted(df.columns), cols)
+            # loud drift guard: the static column map feeds BOTH engines.
+            # A real raise (not assert): must survive `python -O`, else a
+            # renamed member column silently desynchronizes the encodings.
+            if sorted(df.columns) != cols:
+                raise ValueError(
+                    f"family member {name}: columns {sorted(df.columns)} "
+                    f"drifted from _FAMILY_COLS {cols}"
+                )
             row = F.concat_ws(
                 _FAM_SEP,
                 *[F.coalesce(F.col(c).cast("string"), F.lit(_FAM_NULL)) for c in cols],

@@ -144,13 +144,18 @@ class DriftArchive:
     # -- report (cli get-drift / report_drift analog) ------------------------
 
     def report(self, name: str, start=None, end=None) -> DataFrame:
-        """Drift between two archived states; with no states named, the two
-        most recent archives are compared (reference default)."""
+        """Drift between two archived states; each unnamed endpoint defaults
+        independently (start -> second-most-recent, end -> most recent), so a
+        caller-supplied single endpoint is honored rather than overwritten."""
         tags = self.states(name)
-        if start is None or end is None:
+        if start is None:
             if len(tags) < 2:
                 raise ValueError(f"detector {name} needs >=2 archived states")
-            start, end = tags[-2], tags[-1]
+            start = tags[-2]
+        if end is None:
+            if not tags:
+                raise ValueError(f"detector {name} has no archived states")
+            end = tags[-1]
         return drift_between_states(
             self.spark, self.root, name,
             self.resolve(name, start), self.resolve(name, end),

@@ -45,10 +45,20 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # token count is defined for the degenerate rows a web corpus always
+    # carries: NULL text and whitespace-only text both pack 0 tokens
+    # (size(split(NULL)) is -1 and split('') is [''] — both wrong here).
+    n_tok = (
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), " +")))
+        .cast("long")
+    )
     t = docs.select(
         F.col(part_col),
         F.col(order_col).cast("long").alias("doc_id"),
-        F.size(F.split(F.col(text_col), " +")).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     start = F.col("cum_tokens") - F.col("n_tokens")
@@ -81,10 +91,15 @@ def pack_stats(
         F.sum("n_tokens").alias("total_tokens"),
     )
     n_seq = F.ceil(F.col("total_tokens") / seq_len).cast("long")
+    # a stream of only empty docs packs zero sequences: fill_ratio is a
+    # defined 0.0, not a divide-by-zero NULL
+    fill = F.when(
+        n_seq > 0, F.round(F.col("total_tokens") / (n_seq * seq_len), 4)
+    ).otherwise(F.lit(0.0))
     return agg.select(
         part_col,
         "n_docs",
         "total_tokens",
         n_seq.alias("n_sequences"),
-        F.round(F.col("total_tokens") / (n_seq * seq_len), 4).alias("fill_ratio"),
+        fill.alias("fill_ratio"),
     )

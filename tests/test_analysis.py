@@ -142,6 +142,14 @@ def test_drift_archive_lifecycle(spark, tmp_path):
     got13 = {(r.id, r.direction) for r in arch.report("users", T1, T3).collect()}
     assert got13 == {("u2", "missing"), ("u3", "new")}
 
+    # single caller-supplied endpoint is honored, the other defaults
+    # independently (ADVICE r4: both were silently overwritten before)
+    got1x = {(r.id, r.direction) for r in arch.report("users", start=T1).collect()}
+    assert got1x == {("u2", "missing"), ("u3", "new")}  # T1 vs default T3
+    # end-only: start defaults to tags[-2] = T2, so T2 vs T2 diffs empty
+    # (the buggy version overwrote end too and returned the T2-vs-T3 diff)
+    assert arch.report("users", end=T2).count() == 0
+
     # shortcuts resolve to tags inside report
     arch.add_shortcut("roles", "baseline", T1)
     arch.add_shortcut("roles", "latest", T3)

@@ -62,6 +62,44 @@ def test_family_consolidation_covers_every_member():
         assert m in entrymod._FAMILY_COLS, m
 
 
+def test_permission_registry_any_of_semantics(spark, monkeypatch):
+    """A mapping listing several permissions grants the relationship when ANY
+    of them is allowed (reference permission_relationships.py
+    evaluate_policy_for_permissions loops all of them) — a second permission
+    added to permission_relationships.json must widen the result set."""
+    from cartography_spark.modules import permissions as perms
+
+    base = [
+        {
+            "permissions": ["sqs:SendMessage"],
+            "target_label": "SQSQueue",
+            "relationship_name": "CAN_SEND",
+        }
+    ]
+    multi = [
+        {
+            # the granting permission listed SECOND: the pre-fix code
+            # evaluated only permissions[0] (nobody holds ReceiveMessage in
+            # the fixtures) and returned an empty set
+            "permissions": ["sqs:ReceiveMessage", "sqs:SendMessage"],
+            "target_label": "SQSQueue",
+            "relationship_name": "CAN_SEND",
+        }
+    ]
+
+    def run(mappings):
+        monkeypatch.setattr(perms, "load_permission_mappings", lambda path=None: mappings)
+        df = entrymod._q_kg_permission_registry(spark, SF_DIR)
+        return {(r.principal_arn, r.resource_arn) for r in df.collect()}
+
+    single = run(base)
+    assert single  # the fixture grant exists
+    assert run(multi) == single  # any-of: order/position must not matter
+    # and duplicated permissions do not duplicate pairs
+    dup = run([{**base[0], "permissions": ["sqs:SendMessage", "sqs:SendMessage"]}])
+    assert dup == single
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_sampled_query_matches_oracle(spark, name):
     from tools.oracle_check import normalize

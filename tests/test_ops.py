@@ -292,7 +292,9 @@ def test_pack_sequences_matches_sql_oracle_and_invariants(spark, docs):
         """
         WITH t AS (
           SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
-                 CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens
+                 CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), ' +')) END
+                      AS BIGINT) AS n_tokens
           FROM documents
         ),
         c AS (
@@ -332,3 +334,28 @@ def test_pack_sequences_matches_sql_oracle_and_invariants(spark, docs):
     for src, r in stats.items():
         assert r.n_sequences == -(-r.total_tokens // 64)
         assert 0 < r.fill_ratio <= 1.0
+
+
+def test_pack_degenerate_docs(spark):
+    """NULL / empty / whitespace-only text packs 0 tokens; an all-empty
+    stream yields fill_ratio 0.0, not a divide-by-zero NULL (ADVICE r4)."""
+    from cartography_spark.ops.packing import pack_sequences, pack_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, None),
+            ("a", 2, ""),
+            ("a", 3, "   "),
+            ("b", 4, "one two three"),
+            ("b", 5, "  padded  tokens  "),
+        ],
+        ["source", "doc_id", "text"],
+    )
+    placed = {r.doc_id: r for r in pack_sequences(df, seq_len=8).collect()}
+    assert placed[1].n_tokens == 0 and placed[2].n_tokens == 0
+    assert placed[3].n_tokens == 0 and placed[3].cum_tokens == 0
+    assert placed[4].n_tokens == 3
+    assert placed[5].n_tokens == 2  # trimmed before splitting
+    stats = {r.source: r for r in pack_stats(df, seq_len=8).collect()}
+    assert stats["a"].n_sequences == 0 and stats["a"].fill_ratio == 0.0
+    assert stats["b"].total_tokens == 5 and stats["b"].fill_ratio == 0.625

@@ -70,6 +70,42 @@ def main():
 
     work = "/dev/shm/ann_crossover"
     rows = []
+    try:
+        _run_amps(spark, base, dim, qvec, amps, cpus, work, rows)
+    finally:
+        # the amplified corpora/indexes are RAM-backed (tmpfs) and up to
+        # 400x the base vectors — always reclaim, even on a failed run
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+    crossover = next((r["n_vectors"] for r in rows if r["speedup"] >= 1.0), None)
+    print(
+        json.dumps(
+            {
+                "metric": "ann_crossover",
+                "unit": "sec",
+                "base_vectors": n_base,
+                "rows": rows,
+                "crossover_n_vectors": crossover,
+                "cpus": int(cpus),
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+def _run_amps(spark, base, dim, qvec, amps, cpus, work, rows):
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from cartography_spark.ops.similarity import (
+        ann_topk_indexed,
+        build_ann_index,
+        cosine_topk,
+    )
+
     for amp in amps:
         # deterministic amplification: replicas perturb one coordinate by a
         # rep-dependent epsilon so buckets stay realistically spread
@@ -109,21 +145,6 @@ def main():
             }
         )
         sys.stderr.write(f"amp {amp}: n={n} brute={brute_t}s indexed={idx_t}s\n")
-
-    crossover = next((r["n_vectors"] for r in rows if r["speedup"] >= 1.0), None)
-    print(
-        json.dumps(
-            {
-                "metric": "ann_crossover",
-                "unit": "sec",
-                "base_vectors": n_base,
-                "rows": rows,
-                "crossover_n_vectors": crossover,
-                "cpus": int(cpus),
-                "sf": sf_dir,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":
