@@ -71,6 +71,16 @@ SQL_TOKS = """
   FROM documents
 """
 
+# token-count CTE for the packing oracles: NULL / whitespace-only text packs
+# 0 tokens (mirrors ops/packing.py's degenerate-row handling)
+_PACK_TOKS = """
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), ' +')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+"""
+
 SQL_SHINGLES = """
   shing AS (
     SELECT DISTINCT doc_id, shingle FROM (
@@ -255,6 +265,58 @@ def _q_kg_asset_properties(spark, sf_dir):
         F.element_at("props", "createdate").alias("detail"),
     )
     return stopped_public.unionByName(unencrypted).unionByName(early_service)
+
+
+def _q_kg_asset_properties2(spark, sf_dir):
+    """Round-5 property tranche (VERDICT r4 missing #3): hygiene predicates
+    over the NEXT set of hot reference schemas — RDS instance flags
+    (intel/aws/rds.py:140-171 publicly_accessible/deletion_protection/
+    engine/iam auth), Okta user lifecycle epochs (intel/okta/users.py:
+    135-155 last_login/email), GitHub repo flags (intel/github/repos.py:
+    386-400 archived/primarylanguage).  As with kg_asset_properties, the
+    predicates read the COMPILED props bag, proving the schemas carry the
+    fields end-to-end."""
+    from cartography_spark.core.loader import compile_nodes
+    from cartography_spark.modules.aws_rds import RDS_INSTANCE_SCHEMA
+    from cartography_spark.modules.github import REPO_SCHEMA
+    from cartography_spark.modules.okta import USER_SCHEMA
+    from cartography_spark.sources import fixtures as fx
+
+    rds = compile_nodes(fx.rds_instances(spark, sf_dir), RDS_INSTANCE_SCHEMA, T1)
+    public_unprotected = rds.where(
+        "props['publicly_accessible'] = 'true' AND props['deletion_protection'] = 'false'"
+    ).select(
+        "id",
+        F.lit("public_db_no_deletion_protection").alias("finding"),
+        F.element_at("props", "engine").alias("detail"),
+    )
+    pg_no_iam_auth = rds.where(
+        "props['engine'] = 'postgres'"
+        " AND props['iam_database_authentication_enabled'] = 'false'"
+    ).select(
+        "id",
+        F.lit("postgres_iam_auth_disabled").alias("finding"),
+        F.element_at("props", "engine_version").alias("detail"),
+    )
+    okta = compile_nodes(fx.okta_users(spark, sf_dir), USER_SCHEMA, T1)
+    stale_users = okta.where(
+        "CAST(props['last_login'] AS BIGINT) < 1500000000 + 10 * 86400"
+    ).select(
+        "id",
+        F.lit("stale_okta_user").alias("finding"),
+        F.element_at("props", "email").alias("detail"),
+    )
+    repos = compile_nodes(fx.github_repos(spark, sf_dir), REPO_SCHEMA, T1)
+    archived = repos.where("props['archived'] = 'true'").select(
+        "id",
+        F.lit("archived_repo").alias("finding"),
+        F.element_at("props", "primarylanguage").alias("detail"),
+    )
+    return (
+        public_unprotected.unionByName(pg_no_iam_auth)
+        .unionByName(stale_users)
+        .unionByName(archived)
+    )
 
 
 def _q_kg_permission_registry(spark, sf_dir):
@@ -856,6 +918,24 @@ def _q_text_fingerprint(spark, sf_dir):
     from cartography_spark.sources.fixtures import read_table
 
     return fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing placement: one window per source stream,
+    placement a pure function of (stream, order, token counts) — verified
+    repartition-invariant in tests/test_ops.py."""
+    from cartography_spark.ops.packing import pack_sequences
+    from cartography_spark.sources.fixtures import read_table
+
+    return pack_sequences(read_table(spark, sf_dir, "documents"), seq_len=2048)
+
+
+def _q_pack_stats(spark, sf_dir):
+    """Per-stream packing yield (fill ratio with final-sequence padding)."""
+    from cartography_spark.ops.packing import pack_stats
+    from cartography_spark.sources.fixtures import read_table
+
+    return pack_stats(read_table(spark, sf_dir, "documents"), seq_len=2048)
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -2013,6 +2093,7 @@ def _member_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_permission_can_list": _q_kg_permission_can_list,
         "kg_permission_registry": _q_kg_permission_registry,
         "kg_asset_properties": _q_kg_asset_properties,
+        "kg_asset_properties2": _q_kg_asset_properties2,
         "kg_two_tag_users": _q_kg_two_tag_users,
         "kg_two_tag_roles": _q_kg_two_tag_roles,
         "kg_two_tag_clusters": _q_kg_two_tag_clusters,
@@ -2080,6 +2161,8 @@ def _member_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "pack_sequences": _q_pack_sequences,
+        "pack_stats": _q_pack_stats,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "events_windowed_counts": _q_events_windowed_counts,
     }
@@ -2119,6 +2202,68 @@ def _minhash_sig_sql(num_hashes: int = 16, bands: int = 4) -> str:
     FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
     WHERE a.doc_id < b.doc_id
   )"""
+
+
+def _sim_ann_lsh_sql(num_planes: int = 6, probe_radius: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of ops/similarity.py ann_topk_indexed (k=20).
+
+    Re-derives the deterministic index: hyperplane component (p, j) =
+    (int(md5('p:j')[:8], 16) % 2001 - 1000) / 1000 — the exact
+    ``_hyperplane`` formula — so both engines compute identical sign
+    buckets, the identical radius-``probe_radius`` multiprobe set for the
+    vec_id=0 query, and exact cosine over the identical candidate set.
+    ``dim`` matches the fixture embedding width (all SFs emit 64)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for flips in combinations(range(num_planes), r):
+            m = 0
+            for f in flips:
+                m |= 1 << f
+            masks.append(m)
+    mask_list = ", ".join(f"{m}::BIGINT" for m in masks)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        planes AS (
+          SELECT p.p, j.j,
+                 ((('0x' || substr(md5(p.p || ':' || j.j), 1, 8))::BIGINT
+                   % 2001 - 1000) / 1000.0) AS c
+          FROM generate_series(0, {num_planes - 1}) p(p),
+               generate_series(0, {dim - 1}) j(j)
+        ),
+        dots AS (
+          SELECT e.vec_id, pl.p, sum(e.v[pl.j + 1] * pl.c) AS d
+          FROM e, planes pl GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN d >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY 1
+        ),
+        probes AS (
+          SELECT DISTINCT xor(qb.bucket, m.m) AS probe
+          FROM (SELECT bucket FROM sig WHERE vec_id = 0) qb,
+               (SELECT unnest([{mask_list}]) AS m) m
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id, e.v FROM e JOIN sig USING (vec_id)
+          JOIN probes ON sig.bucket = probes.probe
+        ),
+        scored AS (
+          SELECT c.vec_id,
+                 round(
+                   list_sum(list_transform(list_zip(c.v, q.qv), z -> z[1]*z[2]))
+                   / (sqrt(list_sum(list_transform(c.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x*x)))), 6) AS cosine
+          FROM cand c, q
+        )
+        SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+    """
 
 
 def _member_oracle_sql() -> dict[str, str]:
@@ -2282,6 +2427,38 @@ def _member_oracle_sql() -> dict[str, str]:
                    'early_service_role' AS finding,
                    CAST(1500000000 + s_suppkey * 1000 AS VARCHAR) AS detail
             FROM supplier WHERE s_suppkey % 6 = 0 AND 1500000000 + s_suppkey * 1000 < 1500050000
+        """,
+        "kg_asset_properties2": f"""
+            SELECT 'arn:aws:rds:us-east-1:' || {ACCT.format(k='c_nationkey')} ||
+                   ':db:db-' || CAST(c_custkey AS VARCHAR) AS id,
+                   'public_db_no_deletion_protection' AS finding,
+                   CASE WHEN c_custkey % 7 < 3 THEN 'postgres'
+                        WHEN c_custkey % 7 < 5 THEN 'mysql'
+                        ELSE 'aurora' END AS detail
+            FROM customer
+            WHERE c_custkey % 17 = 0 AND c_custkey % 3 = 0 AND c_custkey % 4 <> 0
+            UNION ALL
+            SELECT 'arn:aws:rds:us-east-1:' || {ACCT.format(k='c_nationkey')} ||
+                   ':db:db-' || CAST(c_custkey AS VARCHAR) AS id,
+                   'postgres_iam_auth_disabled' AS finding,
+                   CAST(c_custkey % 4 + 11 AS VARCHAR) || '.' ||
+                   CAST(c_custkey % 10 AS VARCHAR) AS detail
+            FROM customer
+            WHERE c_custkey % 17 = 0 AND c_custkey % 7 < 3 AND c_custkey % 6 <> 0
+            UNION ALL
+            SELECT 'okta-' || CAST(c_custkey AS VARCHAR) AS id,
+                   'stale_okta_user' AS finding,
+                   'user-' || CAST(c_custkey AS VARCHAR) || '@corp-' ||
+                   CAST(c_nationkey AS VARCHAR) || '.example.com' AS detail
+            FROM customer
+            WHERE c_custkey % 2 = 0 AND c_custkey % 50 < 10
+            UNION ALL
+            SELECT 'https://github.com/corp/repo-' || CAST(p_partkey AS VARCHAR) AS id,
+                   'archived_repo' AS finding,
+                   CASE WHEN p_partkey % 3 = 0 THEN 'Python'
+                        WHEN p_partkey % 3 = 1 THEN 'Go'
+                        ELSE 'TypeScript' END AS detail
+            FROM part WHERE p_partkey % 150 = 0
         """,
         # config-only mapping: suppliers s%3==0 hold sqs:SendMessage on
         # arn:aws:sqs:us-east-1:<their acct>:* — pairs with every queue in
@@ -3306,6 +3483,35 @@ def _member_oracle_sql() -> dict[str, str]:
                    md5(substr(text, 1, 64)) AS prefix_fp
             FROM documents
         """,
+        "pack_sequences": f"""
+            WITH t AS ({_PACK_TOKS}),
+            c AS (
+              SELECT *, SUM(n_tokens) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t
+            )
+            SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                   CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_first,
+                   CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS seq_offset,
+                   CAST((cum_tokens - 1) // 2048 - (cum_tokens - n_tokens) // 2048 + 1
+                        AS BIGINT) AS n_seqs_spanned
+            FROM c
+        """,
+        "pack_stats": f"""
+            WITH t AS ({_PACK_TOKS}),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              FROM t GROUP BY source
+            )
+            SELECT source, n_docs, total_tokens,
+                   CAST(ceil(total_tokens / 2048.0) AS BIGINT) AS n_sequences,
+                   CASE WHEN total_tokens > 0
+                        THEN round(total_tokens / (ceil(total_tokens / 2048.0) * 2048.0), 4)
+                        ELSE 0.0 END AS fill_ratio
+            FROM agg
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE {SQL_SHINGLES},
             sizes_un AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY doc_id),
@@ -3548,8 +3754,15 @@ def _member_oracle_sql() -> dict[str, str]:
                    sum(value) AS total_value
             FROM events GROUP BY 1, 2
         """,
-        # sim_ann_lsh: intentionally no oracle — approximate result (rows-only
-        # check); recall vs brute force is asserted in tests/test_ops.py.
+        # sim_ann_lsh: EXACT oracle despite being an "approximate" op —
+        # approximation lives entirely in WHICH buckets are probed, and
+        # bucket membership is a pure function of the md5-derived
+        # hyperplanes (ops/similarity.py _hyperplane), reproducible in SQL.
+        # The oracle re-derives every vector's sign bucket, the query's
+        # radius-2 multiprobe set (22 XOR masks over 6 planes), then exact
+        # cosine top-20 over the probed candidates — cell-identical to the
+        # Spark probe of the materialized partition-pruned index.
+        "sim_ann_lsh": _sim_ann_lsh_sql(),
     }
 
 
@@ -3661,6 +3874,13 @@ _FAMILIES = {
         "kg_two_tag_clusters",
         "kg_two_tag_pods",
     ],
+    "text_stats_family": [
+        "text_token_stats",
+        "text_quality",
+        "text_repetition",
+        "text_langid",
+        "text_fingerprint",
+    ],
 }
 
 _FAMILY_COLS = {
@@ -3733,6 +3953,27 @@ _FAMILY_COLS = {
     "kg_two_tag_roles": ["firstseen", "id", "lastupdated"],
     "kg_two_tag_clusters": ["firstseen", "id", "lastupdated"],
     "kg_two_tag_pods": ["firstseen", "id", "lastupdated"],
+    "text_token_stats": ["avg_token_len", "doc_id", "n_chars", "n_tokens"],
+    "text_quality": [
+        "doc_id", "n_tokens", "quality_ok", "stopword_ratio", "uniq_token_ratio",
+    ],
+    "text_repetition": [
+        "doc_id", "n_tokens", "repetition_ok",
+        "top_bigram_fraction", "top_token_fraction",
+    ],
+    "text_langid": ["doc_id", "en_score", "pred_lang"],
+    "text_fingerprint": ["content_fp", "doc_id", "prefix_fp", "shingle_fp"],
+}
+
+# Double-typed member columns: raw double->string casts are NOT
+# engine-portable (Spark renders 0.0001 as '1.0E-4', DuckDB as '0.0001'),
+# so the family row encoding converts these 4dp-rounded values to exact
+# fixed-point integers (x * 10000, re-rounded) before stringifying.
+_FAMILY_FIXED4_COLS = {
+    "text_token_stats": {"avg_token_len"},
+    "text_quality": {"stopword_ratio", "uniq_token_ratio"},
+    "text_repetition": {"top_bigram_fraction", "top_token_fraction"},
+    "text_langid": {"en_score"},
 }
 
 _FAM_SEP = "\x1f"   # unit separator; never appears in fixture data
@@ -3756,10 +3997,15 @@ def _family_query(members: list[str]) -> Callable[[SparkSession, str], DataFrame
                     f"family member {name}: columns {sorted(df.columns)} "
                     f"drifted from _FAMILY_COLS {cols}"
                 )
-            row = F.concat_ws(
-                _FAM_SEP,
-                *[F.coalesce(F.col(c).cast("string"), F.lit(_FAM_NULL)) for c in cols],
-            )
+            fixed4 = _FAMILY_FIXED4_COLS.get(name, ())
+
+            def enc(c):
+                col = F.col(c)
+                if c in fixed4:
+                    col = F.round(col * 10000).cast("long")
+                return F.coalesce(col.cast("string"), F.lit(_FAM_NULL))
+
+            row = F.concat_ws(_FAM_SEP, *[enc(c) for c in cols])
             part = df.select(F.lit(name).alias("q"), row.alias("row_str"))
             out = part if out is None else out.unionByName(part)
         return out
@@ -3770,9 +4016,13 @@ def _family_query(members: list[str]) -> Callable[[SparkSession, str], DataFrame
 def _family_sql(members: list[str], member_sqls: dict[str, str]) -> str:
     parts = []
     for name in members:
-        exprs = ", ".join(
-            f"COALESCE(CAST(t.{c} AS VARCHAR), chr(2))" for c in _FAMILY_COLS[name]
-        )
+        fixed4 = _FAMILY_FIXED4_COLS.get(name, ())
+
+        def enc(c):
+            v = f"CAST(round(t.{c} * 10000) AS BIGINT)" if c in fixed4 else f"t.{c}"
+            return f"COALESCE(CAST({v} AS VARCHAR), chr(2))"
+
+        exprs = ", ".join(enc(c) for c in _FAMILY_COLS[name])
         parts.append(
             f"SELECT '{name}' AS q, concat_ws(chr(31), {exprs}) AS row_str\n"
             f"FROM ({member_sqls[name]}) t"

@@ -27,6 +27,16 @@ RDS_INSTANCE_SCHEMA = NodeSchema(
         "endpoint_address": PropertyRef("endpoint_address"),
         "storage_encrypted": PropertyRef("storage_encrypted"),
         "publicly_accessible": PropertyRef("publicly_accessible"),
+        # round-5 property tranche (reference intel/aws/rds.py:140-171)
+        "engine": PropertyRef("engine"),
+        "engine_version": PropertyRef("engine_version"),
+        "endpoint_port": PropertyRef("endpoint_port"),
+        "multi_az": PropertyRef("multi_az"),
+        "deletion_protection": PropertyRef("deletion_protection"),
+        "iam_database_authentication_enabled": PropertyRef(
+            "iam_database_authentication_enabled"
+        ),
+        "instance_create_time": PropertyRef("instance_create_time"),
         "account_id": PropertyRef("account_id"),
     },
     sub_resource_rel=account_resource_rel(),

@@ -28,7 +28,18 @@ from cartography_spark.core.store import GraphStore
 REPO_SCHEMA = NodeSchema(
     label="GitHubRepository",
     id=PropertyRef("id"),
-    properties={"name": PropertyRef("name"), "fullname": PropertyRef("fullname")},
+    properties={
+        "name": PropertyRef("name"),
+        "fullname": PropertyRef("fullname"),
+        # round-5 flag tranche (reference intel/github/repos.py:386-400)
+        "private": PropertyRef("private"),
+        "archived": PropertyRef("archived"),
+        "disabled": PropertyRef("disabled"),
+        "primarylanguage": PropertyRef("primarylanguage"),
+        "defaultbranch": PropertyRef("defaultbranch"),
+        "createdat": PropertyRef("createdat"),
+        "updatedat": PropertyRef("updatedat"),
+    },
 )
 
 LIBRARY_SCHEMA = NodeSchema(

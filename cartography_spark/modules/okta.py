@@ -47,6 +47,11 @@ USER_SCHEMA = NodeSchema(
         "login": PropertyRef("login", extra_index=True),
         "first_name": PropertyRef("first_name"),
         "last_name": PropertyRef("last_name"),
+        # round-5 profile tranche (reference intel/okta/users.py:135-155)
+        "email": PropertyRef("email"),
+        "created": PropertyRef("created"),
+        "last_login": PropertyRef("last_login"),
+        "password_changed": PropertyRef("password_changed"),
     },
     sub_resource_rel=ORG_REL,
 )

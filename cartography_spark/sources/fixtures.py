@@ -389,14 +389,22 @@ def okta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: id, login, first_name, last_name, org_id.
     """
     c = read_table(spark, sf_dir, "customer").where((F.col("c_custkey") % 2) == 0)
+    ck = F.col("c_custkey")
+    login = F.concat(
+        F.lit("user-"), ck.cast("string"), F.lit("@corp-"),
+        F.col("c_nationkey").cast("string"), F.lit(".example.com"),
+    )
     return c.select(
-        F.concat(F.lit("okta-"), F.col("c_custkey").cast("string")).alias("id"),
-        F.concat(
-            F.lit("user-"), F.col("c_custkey").cast("string"), F.lit("@corp-"),
-            F.col("c_nationkey").cast("string"), F.lit(".example.com"),
-        ).alias("login"),
-        F.concat(F.lit("First"), F.col("c_custkey").cast("string")).alias("first_name"),
-        F.concat(F.lit("Last"), F.col("c_custkey").cast("string")).alias("last_name"),
+        F.concat(F.lit("okta-"), ck.cast("string")).alias("id"),
+        login.alias("login"),
+        F.concat(F.lit("First"), ck.cast("string")).alias("first_name"),
+        F.concat(F.lit("Last"), ck.cast("string")).alias("last_name"),
+        # round-5 profile tranche (reference intel/okta/users.py:135-155):
+        # email mirrors login (the reference sets both), lifecycle epochs
+        login.alias("email"),
+        (ck * 100 + 1400000000).cast("string").alias("created"),
+        ((ck % 50) * 86400 + 1500000000).cast("string").alias("last_login"),
+        (ck * 50 + 1450000000).cast("string").alias("password_changed"),
         F.concat(F.lit("okta-org-"), (F.col("c_nationkey") % 5).cast("string")).alias("org_id"),
     )
 
@@ -427,10 +435,22 @@ def okta_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 def github_repos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 50th part is a repo.  Columns: id(url), name, fullname."""
     p = read_table(spark, sf_dir, "part").where((F.col("p_partkey") % 50) == 0)
+    pk = F.col("p_partkey")
     return p.select(
-        F.concat(F.lit("https://github.com/corp/repo-"), F.col("p_partkey").cast("string")).alias("id"),
-        F.concat(F.lit("repo-"), F.col("p_partkey").cast("string")).alias("name"),
-        F.concat(F.lit("corp/repo-"), F.col("p_partkey").cast("string")).alias("fullname"),
+        F.concat(F.lit("https://github.com/corp/repo-"), pk.cast("string")).alias("id"),
+        F.concat(F.lit("repo-"), pk.cast("string")).alias("name"),
+        F.concat(F.lit("corp/repo-"), pk.cast("string")).alias("fullname"),
+        # round-5 flag tranche (reference intel/github/repos.py:386-400)
+        ((pk % 100) == 0).cast("string").alias("private"),
+        ((pk % 150) == 0).cast("string").alias("archived"),
+        F.lit("false").alias("disabled"),
+        F.when((pk % 3) == 0, F.lit("Python"))
+        .when((pk % 3) == 1, F.lit("Go"))
+        .otherwise(F.lit("TypeScript"))
+        .alias("primarylanguage"),
+        F.lit("main").alias("defaultbranch"),
+        (pk * 10 + 1420000000).cast("string").alias("createdat"),
+        (pk * 5 + 1600000000).cast("string").alias("updatedat"),
     )
 
 
@@ -1157,6 +1177,11 @@ def rds_instances(spark: SparkSession, sf_dir: str, variant: str = "t1") -> Data
     ck = F.col("c_custkey")
     c = c.where((ck % 17) == 0)
     name = F.concat(F.lit("db-"), ck.cast("string"))
+    engine = (
+        F.when((ck % 7) < 3, F.lit("postgres"))
+        .when((ck % 7) < 5, F.lit("mysql"))
+        .otherwise(F.lit("aurora"))
+    )
     return c.select(
         F.concat(
             F.lit("arn:aws:rds:us-east-1:"), _acct(F.col("c_nationkey")), F.lit(":db:"), name
@@ -1165,6 +1190,19 @@ def rds_instances(spark: SparkSession, sf_dir: str, variant: str = "t1") -> Data
         F.concat(name, F.lit(".cluster.us-east-1.rds.example.com")).alias("endpoint_address"),
         ((ck % 2) == 0).cast("string").alias("storage_encrypted"),
         ((ck % 3) == 0).cast("string").alias("publicly_accessible"),
+        # round-5 property tranche (reference intel/aws/rds.py:140-171):
+        # engine/version, port, HA + protection flags, create time
+        engine.alias("engine"),
+        F.concat((ck % 4 + 11).cast("string"), F.lit("."), (ck % 10).cast("string")).alias(
+            "engine_version"
+        ),
+        F.when(engine == "postgres", F.lit(5432)).otherwise(F.lit(3306))
+        .cast("string")
+        .alias("endpoint_port"),
+        ((ck % 5) == 0).cast("string").alias("multi_az"),
+        ((ck % 4) == 0).cast("string").alias("deletion_protection"),
+        ((ck % 6) == 0).cast("string").alias("iam_database_authentication_enabled"),
+        (ck * 500 + 1500000000).cast("string").alias("instance_create_time"),
         _acct(F.col("c_nationkey")).alias("account_id"),
     )
 

@@ -42,7 +42,7 @@ def test_every_query_has_callable(spark):
     oracles = entrymod.oracle_sql()
     assert 30 <= len(qs) <= 50  # the driver gate checks the first 50 entries
     missing_oracle = set(qs) - set(oracles)
-    assert missing_oracle <= {"sim_ann_lsh"}  # approximate op: rows-only
+    assert not missing_oracle  # every gate entry has an exact oracle
 
 
 def test_family_consolidation_covers_every_member():
