@@ -102,6 +102,16 @@ class GraphStore:
     def current_meta(self) -> dict:
         return self._manifest(self._current_version())
 
+    def committed_rows(self, sub: str, labels: Iterable[str] | None = None) -> int:
+        """Total committed row count for a table's (optionally filtered)
+        label slices, straight from the manifest — no Spark job.  Feeds the
+        adaptive MERGE join shape (see :attr:`SEMI_MERGE_MIN_ROWS`)."""
+        entries = self.current_meta().get(sub, {})
+        if labels is not None:
+            wanted = set(labels)
+            entries = {k: v for k, v in entries.items() if k in wanted}
+        return sum(int(e["rows"]) for e in entries.values())
+
     def label_rowcount(self, label: str) -> int | None:
         """Committed row count for one node label, straight from the manifest
         (the Iceberg-style stats a commit records) — no Spark job.  None if
@@ -322,8 +332,13 @@ class GraphStore:
         callers use :meth:`commit_partial` / :meth:`upsert` / :meth:`delete`.
         """
         v = self._next_version()
-        node_slices = self._write_slices(nodes, "nodes", v, "label")
-        edge_slices = self._write_slices(edges, "edges", v, "rel_label")
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut_n = ex.submit(self._write_slices, nodes, "nodes", v, "label")
+            fut_e = ex.submit(self._write_slices, edges, "edges", v, "rel_label")
+            node_slices = fut_n.result()
+            edge_slices = fut_e.result()
         return self._publish(
             node_slices, edge_slices, None, None, v, stage, update_tag, metrics
         )
@@ -342,10 +357,24 @@ class GraphStore:
         forward by manifest pointer (the Iceberg-MERGE cost model: I/O is
         O(touched partitions), not O(table))."""
         v = self._next_version()
-        node_slices = self._write_slices(nodes, "nodes", v, "label") if nodes is not None else {}
-        edge_slices = (
-            self._write_slices(edges, "edges", v, "rel_label") if edges is not None else {}
-        )
+        if nodes is not None and edges is not None:
+            # independent jobs: overlap the two slice writes (cf. upsert's
+            # staging overlap) — the commit critical path becomes the larger
+            # table's write instead of their sum
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_n = ex.submit(self._write_slices, nodes, "nodes", v, "label")
+                fut_e = ex.submit(self._write_slices, edges, "edges", v, "rel_label")
+                node_slices = fut_n.result()
+                edge_slices = fut_e.result()
+        else:
+            node_slices = (
+                self._write_slices(nodes, "nodes", v, "label") if nodes is not None else {}
+            )
+            edge_slices = (
+                self._write_slices(edges, "edges", v, "rel_label") if edges is not None else {}
+            )
         return self._publish(
             node_slices,
             edge_slices,
@@ -434,15 +463,26 @@ class GraphStore:
             v = self._next_version()
             node_slices = edge_slices = {}
             fs = F.coalesce(F.col("firstseen"), F.lit(int(update_tag)))
+            nn = ne = None
             if new_nodes is not None:
                 nn = new_nodes.withColumn("firstseen", fs).select(
                     *[f.name for f in NODES_SCHEMA.fields]
                 )
-                node_slices = self._write_slices(nn, "nodes", v, "label")
             if new_edges is not None:
                 ne = new_edges.withColumn("firstseen", fs).select(
                     *[f.name for f in EDGES_SCHEMA.fields]
                 )
+            if nn is not None and ne is not None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    fut_n = ex.submit(self._write_slices, nn, "nodes", v, "label")
+                    fut_e = ex.submit(self._write_slices, ne, "edges", v, "rel_label")
+                    node_slices = fut_n.result()
+                    edge_slices = fut_e.result()
+            elif nn is not None:
+                node_slices = self._write_slices(nn, "nodes", v, "label")
+            elif ne is not None:
                 edge_slices = self._write_slices(ne, "edges", v, "rel_label")
             return self._publish(
                 node_slices,
@@ -459,32 +499,93 @@ class GraphStore:
         touched_rels: list[str] = []
         nodes_out = edges_out = None
 
-        if new_nodes is not None:
+        # The two staging writes are independent Spark jobs: overlap them so
+        # the commit pays max(nodes, edges) staging latency, not the sum
+        # (the round-4 profile showed the serial write+read inside commit as
+        # a top T2 cost).  Merge-plan construction is driver-only and cheap;
+        # only the staging ACTIONS run in the pool.
+        if new_nodes is not None and new_edges is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_n = ex.submit(
+                    self._stage_batch, new_nodes, "nodes", NODES_SCHEMA, "label"
+                )
+                fut_e = ex.submit(
+                    self._stage_batch, new_edges, "edges", EDGES_SCHEMA, "rel_label"
+                )
+                new_nodes, touched_labels = fut_n.result()
+                new_edges, touched_rels = fut_e.result()
+        elif new_nodes is not None:
             new_nodes, touched_labels = self._stage_batch(
                 new_nodes, "nodes", NODES_SCHEMA, "label"
             )
-            nodes_out = self.merge_nodes(
-                self.nodes(labels=touched_labels), new_nodes, update_tag
-            )
-
-        if new_edges is not None:
+        elif new_edges is not None:
             new_edges, touched_rels = self._stage_batch(
                 new_edges, "edges", EDGES_SCHEMA, "rel_label"
             )
+
+        if new_nodes is not None:
+            nodes_out = self.merge_nodes(
+                self.nodes(labels=touched_labels), new_nodes, update_tag,
+                old_rows=self.committed_rows("nodes", touched_labels),
+            )
+        if new_edges is not None:
             edges_out = self.merge_edges(
-                self.edges(rel_labels=touched_rels), new_edges, update_tag
+                self.edges(rel_labels=touched_rels), new_edges, update_tag,
+                old_rows=self.committed_rows("edges", touched_rels),
             )
 
         return self.commit_partial(
             nodes_out, edges_out, touched_labels, touched_rels, stage, update_tag, metrics
         )
 
-    def merge_nodes(self, old: DataFrame, new: DataFrame, update_tag: int) -> DataFrame:
+    # Committed-side row count (manifest stats, no Spark job) above which the
+    # MERGE plans switch to the semi-join shape that never shuffles the
+    # committed table.  Below it the direct shape wins: the semi shape
+    # references the (possibly expensive, unexecuted) batch plan a third
+    # time, which costs more than shuffling a small committed slice —
+    # measured 3x worse on the sf0.01 T2 sync, where every committed slice
+    # is tiny.  Above it the trade inverts: one extra pass over a bounded
+    # batch plan buys never sorting/shuffling a 10^12-row table.
+    SEMI_MERGE_MIN_ROWS = 5_000_000
+
+    def merge_nodes(
+        self,
+        old: DataFrame,
+        new: DataFrame,
+        update_tag: int,
+        old_rows: int | None = None,
+    ) -> DataFrame:
         """Pure MERGE plan over two node frames: matched rows keep existing
         firstseen and merge props per-key; unmatched old rows pass through.
         Shared by the commit path (over staged files) and the buffered sync
-        store's read views (over unexecuted batch plans)."""
-        old_keys = old.select(
+        store's read views (over unexecuted batch plans).
+
+        Join shape is adaptive on ``old_rows`` (the committed side's manifest
+        row count — exact, driver-side, no job):
+
+        * small committed side (default): batch LEFT JOIN committed-keys +
+          committed ANTI batch-keys — two executions of the batch plan, one
+          sort-merge of the small committed slice.  The right trade when the
+          slices fit in a few shuffle partitions.
+        * big committed side (>= SEMI_MERGE_MIN_ROWS): the committed side is
+          first restricted to keys the batch touches (LEFT SEMI on the batch
+          key set), so the merge join pairs the batch with a <=|batch| slice
+          instead of the whole table.  Every join is then broadcast-eligible
+          (AQE picks it from runtime sizes) and the 10^12-row committed
+          table is only STREAMED (two map-side passes), never shuffled or
+          sorted — the shape that survives a 100x scale-up.  The direct
+          shape cannot get there: a left join's build side must be the
+          non-preserved side, which pins the big table to the unbuildable
+          side and forces a full sort-merge shuffle per read view.
+        """
+        if old_rows is not None and old_rows >= self.SEMI_MERGE_MIN_ROWS:
+            new_keys = new.select("label", "id")
+            old_side = old.join(new_keys, ["label", "id"], "left_semi")
+        else:
+            old_side = old
+        old_keys = old_side.select(
             F.col("label").alias("_l"),
             F.col("id").alias("_i"),
             F.col("firstseen").alias("_fs"),
@@ -504,9 +605,22 @@ class GraphStore:
         untouched = old.join(new.select("label", "id"), ["label", "id"], "left_anti")
         return untouched.unionByName(merged_new)
 
-    def merge_edges(self, old: DataFrame, new: DataFrame, update_tag: int) -> DataFrame:
-        """Pure MERGE plan over two edge frames (see :meth:`merge_nodes`)."""
-        old_e = old.select(
+    def merge_edges(
+        self,
+        old: DataFrame,
+        new: DataFrame,
+        update_tag: int,
+        old_rows: int | None = None,
+    ) -> DataFrame:
+        """Pure MERGE plan over two edge frames (see :meth:`merge_nodes` for
+        the adaptive join shape: direct under small committed slices,
+        semi-restricted — committed side streamed, never shuffled — above
+        SEMI_MERGE_MIN_ROWS)."""
+        if old_rows is not None and old_rows >= self.SEMI_MERGE_MIN_ROWS:
+            old_side = old.join(new.select(*EDGE_KEY), EDGE_KEY, "left_semi")
+        else:
+            old_side = old
+        old_e = old_side.select(
             *[F.col(k).alias(f"_{k}") for k in EDGE_KEY],
             F.col("firstseen").alias("_fs"),
             F.col("props").alias("_op"),
@@ -719,10 +833,11 @@ class BufferedSyncStore:
         "write_partitions",
         "stage_done",
         "_manifest",
-        # manifest-only reads: label_rowcount is a chunk-sizing HINT (callers
-        # tolerate staleness wrt buffered batches), so it must not force a
-        # flush from inside a grouped stage
+        # manifest-only reads: label_rowcount / committed_rows are sizing
+        # HINTS (callers tolerate staleness wrt buffered batches), so they
+        # must not force a flush from inside a grouped stage
         "label_rowcount",
+        "committed_rows",
     }
 
     def __init__(self, store: GraphStore):
@@ -873,31 +988,37 @@ class BufferedSyncStore:
             folds[sub] = (stamped_ready, chunks)
 
         # checkpoint all chunks of both tables concurrently (each chunk is a
-        # union of <=FLUSH_CHUNK already-independent batch plans — one job)
-        all_chunks = [c for _, chunks in folds.values() for c in chunks]
-        ckpts: dict[int, object] = {}
-        if all_chunks:
-            def _union_ckpt(chunk):
+        # union of <=FLUSH_CHUNK already-independent batch plans — one job).
+        # Results are keyed by (sub, chunk index) so reassembly below cannot
+        # depend on any iteration-order coincidence between two passes.
+        keyed_chunks = [
+            ((sub, i), c)
+            for sub, (_, chunks) in folds.items()
+            for i, c in enumerate(chunks)
+        ]
+        ckpts: dict[tuple, object] = {}
+        if keyed_chunks:
+            def _union_ckpt(item):
+                key, chunk = item
                 u = chunk[0]
                 for p in chunk[1:]:
                     u = u.unionByName(p)
-                return u.localCheckpoint(eager=True)
+                return key, u.localCheckpoint(eager=True)
 
-            if len(all_chunks) == 1:
-                ckpts[0] = _union_ckpt(all_chunks[0])
+            if len(keyed_chunks) == 1:
+                k, out = _union_ckpt(keyed_chunks[0])
+                ckpts[k] = out
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=min(16, len(all_chunks))) as ex:
-                    for i, out in enumerate(ex.map(_union_ckpt, all_chunks)):
-                        ckpts[i] = out
+                with ThreadPoolExecutor(max_workers=min(16, len(keyed_chunks))) as ex:
+                    for k, out in ex.map(_union_ckpt, keyed_chunks):
+                        ckpts[k] = out
 
-        ci = 0
         for sub, (stamped_ready, chunks) in folds.items():
             parts = list(stamped_ready)
-            for _ in chunks:
-                parts.append(ckpts[ci])
-                ci += 1
+            for i in range(len(chunks)):
+                parts.append(ckpts[(sub, i)])
             if sub == "nodes":
                 tables[sub] = _fold_stamped(
                     parts, ["label", "id"], ["extra_labels"],
@@ -955,7 +1076,8 @@ class BufferedSyncStore:
             view = self._resolve_pending(pending, self._tag)
         else:
             view = self._store.merge_nodes(
-                self._store.nodes(labels=labels), pending, self._tag
+                self._store.nodes(labels=labels), pending, self._tag,
+                old_rows=self._store.committed_rows("nodes", labels),
             )
         self._view_cache[key] = view
         return view
@@ -973,7 +1095,8 @@ class BufferedSyncStore:
             view = self._resolve_pending(pending, self._tag)
         else:
             view = self._store.merge_edges(
-                self._store.edges(rel_labels=rel_labels), pending, self._tag
+                self._store.edges(rel_labels=rel_labels), pending, self._tag,
+                old_rows=self._store.committed_rows("edges", rel_labels),
             )
         self._view_cache[key] = view
         return view

@@ -144,16 +144,49 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over word-k-shingles.
 
-    Uses MULTISET shingles (no distinct): min is duplicate-insensitive, so
-    the expensive set-dedup shuffle is skipped — the explode stays narrow
-    and the groupBy's map-side partial aggregation collapses each partition
-    to one row per doc before the (tiny) shuffle.  At 10^12 docs this is
-    the difference between shuffling the shingled corpus and shuffling
-    num_hashes longs per document.
+    hash_fn='xxhash' (production): fully PER-ROW — for each hash family
+    member the shingle stream is folded with ``aggregate(sequence(...),
+    least(acc, xxhash64(seed, w[j+1..j+k])))``, hashing the k words
+    directly.  No shingle string is ever materialized, nothing explodes,
+    and there is NO shuffle at all: the previous explode + groupBy shape
+    allocated one ~20-byte string per (position) — the measured
+    allocation-bound scaling bottleneck on this host (scaling_bench
+    appendix stage) — where this shape allocates nothing per position and
+    stays inside whole-stage codegen.  min-over-positions == min over the
+    shingle multiset, so the signature semantics are unchanged.
+
+    hash_fn='md5' (oracle parity): keeps the exploded string path — the
+    DuckDB oracle hashes md5 of the literal shingle string, so the string
+    must exist.  Uses multiset shingles + map-side partial agg (min is
+    duplicate-insensitive): at 10^12 docs the shuffle carries num_hashes
+    longs per document, never the shingled corpus.
     """
-    sh = _shingles(docs, k, distinct=False)
-    aggs = [F.min(_minhash_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    if hash_fn == "md5":
+        sh = _shingles(docs, k, distinct=False)
+        aggs = [F.min(_minhash_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)]
+        sig = sh.groupBy("doc_id").agg(*aggs)
+        return sig.select(
+            "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        )
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.lower(F.col("text")), " +").alias("t"),
+    )
+    positions = F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0)))
+    two32 = F.lit(2**32).cast("long")
+
+    def h_min(i):
+        def step(acc, j):
+            # try_element_at: docs shorter than k tokens index past the end
+            # (ANSI mode would throw); xxhash64 skips NULL args, matching
+            # the string path's short-shingle behavior
+            words = [F.try_element_at(F.col("t"), j + off) for off in range(1, k + 1)]
+            return F.least(acc, F.pmod(F.xxhash64(F.lit(i), *words), two32))
+
+        return F.aggregate(positions, two32, step).alias(f"h{i}")
+
+    sig = toks.select("doc_id", *[h_min(i) for i in range(num_hashes)])
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

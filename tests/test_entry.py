@@ -13,7 +13,8 @@ from tests.conftest import SF_DIR
 SAMPLE = [
     "kg_aws_core_family",  # family consolidation: encoding parity end-to-end
     "kg_mentions",
-    "text_fingerprint",
+    "text_stats_family",  # fixed-point double codec parity end-to-end
+    "pack_stats",
     "dedup_prefix",
     "kg_exposure",
 ]

