@@ -56,7 +56,9 @@ def main():
     from cartography_spark.kg.bulk import build_graph
     from cartography_spark.kg.materialize import mention_triples
 
-    qs = entrymod.queries()
+    # member registry, not the consolidated driver surface: bench headliners
+    # include queries that live inside gate families (e.g. text_quality)
+    qs = entrymod._member_queries()
 
     def run_count(df):
         return df.count()

@@ -144,16 +144,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over word-k-shingles.
 
-    hash_fn='xxhash' (production): fully PER-ROW — for each hash family
-    member the shingle stream is folded with ``aggregate(sequence(...),
-    least(acc, xxhash64(seed, w[j+1..j+k])))``, hashing the k words
-    directly.  No shingle string is ever materialized, nothing explodes,
-    and there is NO shuffle at all: the previous explode + groupBy shape
-    allocated one ~20-byte string per (position) — the measured
-    allocation-bound scaling bottleneck on this host (scaling_bench
-    appendix stage) — where this shape allocates nothing per position and
-    stays inside whole-stage codegen.  min-over-positions == min over the
-    shingle multiset, so the signature semantics are unchanged.
+    hash_fn='xxhash' (production): fully PER-ROW, two passes —
+
+      1. one base hash per shingle position: ``xxhash64(w[j+1..j+k])``
+         over the k words directly (no shingle string is materialized);
+      2. family member i = min over ``xxhash64(i, base_hash)`` — a seeded
+         rehash of the 64-bit digest, so each position pays ONE string
+         hashing pass total instead of num_hashes of them (the naive
+         per-family fold re-hashed the words 16x and measured 2.5x slower
+         than the exploded shape at sf0.1).
+
+    Nothing explodes and there is NO shuffle: the explode + groupBy shape
+    allocated one ~20-byte shingle string per position (the measured
+    allocation-bound scaling bottleneck on this host), where this shape
+    allocates one long array per row.  min-over-positions == min over the
+    shingle multiset, so the signature semantics are unchanged; sharing
+    one 64-bit base digest across the family only merges hash families on
+    a 2^-64 collision — immaterial to LSH banding.
 
     hash_fn='md5' (oracle parity): keeps the exploded string path — the
     DuckDB oracle hashes md5 of the literal shingle string, so the string
@@ -174,19 +181,22 @@ def minhash_signatures(
         F.split(F.lower(F.col("text")), " +").alias("t"),
     )
     positions = F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0)))
+
+    def base_hash(j):
+        # try_element_at: docs shorter than k tokens index past the end
+        # (ANSI mode would throw); xxhash64 skips NULL args, matching the
+        # string path's short-shingle behavior
+        return F.xxhash64(*[F.try_element_at(F.col("t"), j + off) for off in range(1, k + 1)])
+
+    hb = toks.withColumn("hbase", F.transform(positions, base_hash))
     two32 = F.lit(2**32).cast("long")
-
-    def h_min(i):
-        def step(acc, j):
-            # try_element_at: docs shorter than k tokens index past the end
-            # (ANSI mode would throw); xxhash64 skips NULL args, matching
-            # the string path's short-shingle behavior
-            words = [F.try_element_at(F.col("t"), j + off) for off in range(1, k + 1)]
-            return F.least(acc, F.pmod(F.xxhash64(F.lit(i), *words), two32))
-
-        return F.aggregate(positions, two32, step).alias(f"h{i}")
-
-    sig = toks.select("doc_id", *[h_min(i) for i in range(num_hashes)])
+    mins = [
+        F.array_min(
+            F.transform("hbase", lambda h, i=i: F.pmod(F.xxhash64(F.lit(i), h), two32))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hb.select("doc_id", *mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -157,7 +157,12 @@ headline = [
 
 # ---------- APPENDIX: allocation-bound stage (host-limited, reported) ------
 def mh():
-    minhash_signatures(docs).select(F.count(F.lit(1))).collect()
+    # consume the WHOLE signature (xxhash64 over the array) so Catalyst
+    # cannot column-prune the min-hash computation away — a bare count(1)
+    # over the per-row form measures nothing but the scan
+    (minhash_signatures(docs)
+     .select(F.xxhash64("sig").alias("h"))
+     .agg(F.expr("bit_xor(h)")).collect())
 timed("minhash_sigs[appendix]", mh)
 
 total = round(sum(timings[k] for k in headline), 3)
