@@ -920,6 +920,21 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+def _q_text_redact(spark, sf_dir):
+    """PII screen over the interleaved corpus's text spans: count + redact
+    emails and resource ARNs (JVM regexp, zero shuffle).  The span text is
+    the ground-truth mention grammar, so counts are exact."""
+    from cartography_spark.ops.textstats import redact_pii
+    from cartography_spark.sources.docs_synth import exploded_spans, interleaved_documents
+
+    spans = exploded_spans(interleaved_documents(spark, sf_dir)).where(
+        F.col("kind") == "text"
+    )
+    return redact_pii(spans, "text").select(
+        "doc_id", "offset", "n_emails", "n_arns", "clean"
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing placement: one window per source stream,
     placement a pure function of (stream, order, token counts) — verified
@@ -2163,6 +2178,7 @@ def _member_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "pack_sequences": _q_pack_sequences,
         "pack_stats": _q_pack_stats,
+        "text_redact": _q_text_redact,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "events_windowed_counts": _q_events_windowed_counts,
     }
@@ -3482,6 +3498,34 @@ def _member_oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(regexp_replace(text, ' +', ' ', 'g')), ' '))), ' ')) AS shingle_fp,
                    md5(substr(text, 1, 64)) AS prefix_fp
             FROM documents
+        """,
+        "text_redact": f"""
+            WITH d AS (SELECT *,
+                       doc_id % {n_cust} AS ck, doc_id % {n_supp} AS sk
+                       FROM documents),
+            j AS (SELECT d.*, c.c_nationkey AS cn, s.s_nationkey AS sn
+                  FROM d JOIN customer c ON d.ck = c.c_custkey
+                         JOIN supplier s ON d.sk = s.s_suppkey),
+            spans AS (
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, 0 AS "offset",
+                     'doc intro ' || substr(text, 1, 64) AS text FROM j
+              UNION ALL
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR), 1,
+                     'touched by arn:aws:iam::' || {ACCT.format(k='cn')} || ':user/user-' || CAST(ck AS VARCHAR) ||
+                     ' contact user-' || CAST(ck AS VARCHAR) || '@corp-' || CAST(cn AS VARCHAR) || '.example.com'
+              FROM j
+              UNION ALL
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR), 3,
+                     'ran on arn:aws:elasticmapreduce:us-east-1:' || {ACCT.format(k='sn')} || ':cluster/j-' || CAST(sk AS VARCHAR)
+              FROM j
+            )
+            SELECT doc_id, "offset",
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, 'arn:[a-z0-9-]+:[a-z0-9-]*:[a-z0-9-]*:[0-9]*:[A-Za-z0-9/:._-]+')) AS BIGINT) AS n_arns,
+                   regexp_replace(
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                     'arn:[a-z0-9-]+:[a-z0-9-]*:[a-z0-9-]*:[0-9]*:[A-Za-z0-9/:._-]+', '<ARN>', 'g') AS clean
+            FROM spans
         """,
         "pack_sequences": f"""
             WITH t AS ({_PACK_TOKS}),

@@ -140,3 +140,32 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         ),
         F.md5(F.substring("text", 1, 64)).alias("prefix_fp"),
     )
+
+
+# PII patterns shared by redact_pii and its DuckDB oracle: RE2/Java-regex
+# portable (no lookaround, no \b), so BOTH engines match identical spans.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("arn", r"arn:[a-z0-9-]+:[a-z0-9-]*:[a-z0-9-]*:[0-9]*:[A-Za-z0-9/:._-]+", "<ARN>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII screen: count and redact emails / resource ARNs.
+
+    Adds ``n_<kind>s`` counts (regexp_count, JVM-native) and ``clean`` (the
+    text with every match replaced by its placeholder).  Order matters and
+    is fixed: emails first (an ARN never contains '@', so the passes are
+    independent on real text, but a fixed order keeps both engines and
+    re-runs byte-identical).  Zero shuffle — pure per-row codegen, the only
+    shape that survives 10^12 documents.
+    """
+    out = df
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}s", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+    clean = F.col(text_col)
+    for _, pat, tok in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tok)
+    return out.withColumn("clean", clean)

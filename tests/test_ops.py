@@ -336,6 +336,30 @@ def test_pack_sequences_matches_sql_oracle_and_invariants(spark, docs):
         assert 0 < r.fill_ratio <= 1.0
 
 
+def test_redact_pii_counts_and_replacement(spark):
+    from cartography_spark.ops.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org here"),
+            (2, "role arn:aws:iam::000000000001:role/r-1 plain"),
+            (3, "both x@y.io arn:aws:s3:::bucket-1 end"),
+            (4, "nothing to scrub"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].n_emails == 2 and rows[1].n_arns == 0
+    assert rows[1].clean == "mail <EMAIL> and <EMAIL> here"
+    assert rows[2].n_arns == 1 and rows[2].clean == "role <ARN> plain"
+    assert rows[3].n_emails == 1 and rows[3].n_arns == 1
+    assert rows[3].clean == "both <EMAIL> <ARN> end"
+    assert rows[4].clean == "nothing to scrub"
+    # zero shuffle: pure per-row regexp codegen
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_pack_degenerate_docs(spark):
     """NULL / empty / whitespace-only text packs 0 tokens; an all-empty
     stream yields fill_ratio 0.0, not a divide-by-zero NULL (ADVICE r4)."""
