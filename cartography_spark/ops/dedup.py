@@ -349,6 +349,27 @@ def embedding_near_dup(
     ``minhash_lsh_pairs``) for higher recall.
 
     Output: id_a, id_b, cosine (rounded 6dp), id_a < id_b.
+
+    Implementation note (round 6, guide §4.2): the per-pair verification is
+    a cogrouped numpy kernel, not a JVM expression.  The candidate join is
+    the O(sum of bucket^2) hot loop — at 20k vectors it is already 63M
+    pairs x 64 dims, and Spark's per-pair evaluation (HOF fold or unrolled
+    codegen alike, both measured) costs microseconds per pair where a
+    vectorized batch kernel costs nanoseconds.  Both sides are shuffled by
+    ``(bucket, salt)`` — only the vectors themselves (~N x dim floats, NOT
+    the pair grid) cross to Python — and each group is scored as a block.
+
+    fp-exactness: the kernel accumulates ``acc += x[:, i] * y[:, i]`` over
+    ``i`` in ascending order in float64, i.e. the exact IEEE add/mul
+    sequence of the previous ``aggregate(zip_with(...))`` left fold, and
+    the final ``round(cosine, 6)`` stays in Spark — results are
+    bit-identical to the HOF implementation (oracle-verified at 3 SFs).
+
+    ``salt`` splits the probe side of each bucket deterministically
+    (``pmod(xxhash64(id), s)`` — stable under task retry) and replicates
+    the build side ``s`` ways, so parallelism is ``2^n_planes * s`` even
+    though there are only ``2^n_planes`` buckets; default sizes it to
+    ~2 tasks per core.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     planes = rademacher_planes(n_planes, dim)
@@ -366,7 +387,7 @@ def embedding_near_dup(
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     sig = embeddings.select(
         F.col(id_col).alias("vid"),
-        v.alias("v"),
+        F.col(vec_col).alias("v"),
         norm.alias("nrm"),
         bucket.cast("int").alias("bucket"),
     )
@@ -381,25 +402,68 @@ def embedding_near_dup(
         )
         probes = probes.unionByName(flips)
 
+    sc = embeddings.sparkSession.sparkContext
+    s = max(1, -(-2 * sc.defaultParallelism // (1 << n_planes)))  # ceil
+    left = probes.withColumn(
+        "salt", F.pmod(F.xxhash64("vid"), F.lit(s)).cast("int")
+    )
     right = sig.select(
         F.col("vid").alias("vid_b"), F.col("v").alias("v_b"),
         F.col("nrm").alias("nrm_b"), F.col("bucket").alias("probe"),
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    thr = float(threshold)
+    ndim = int(dim)
+
+    def _score_block(lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        def _clean(pdf, vcol):
+            ok = pdf[vcol].map(lambda a: a is not None and len(a) == ndim)
+            return pdf[ok]
+
+        lpdf = _clean(lpdf, "v")
+        rpdf = _clean(rpdf, "v_b")
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        xl = np.stack(lpdf["v"].to_numpy()).astype(np.float64)
+        xr = np.stack(rpdf["v_b"].to_numpy()).astype(np.float64)
+        nl = lpdf["nrm"].to_numpy(dtype=np.float64)
+        nr = rpdf["nrm_b"].to_numpy(dtype=np.float64)
+        il = lpdf["vid"].to_numpy()
+        ir = rpdf["vid_b"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        # chunk the left side so the (chunk x |right|) accumulator stays
+        # cache-sized; chunking along rows does not change any pair's fold
+        chunk = max(1, (4 << 20) // (8 * max(len(rpdf), 1)))
+        for st in range(0, xl.shape[0], chunk):
+            xlc = xl[st:st + chunk]
+            acc = np.zeros((xlc.shape[0], xr.shape[0]))
+            for i in range(ndim):
+                # ascending-i accumulation == the HOF left fold, bit-exact
+                acc += xlc[:, i:i + 1] * xr[:, i]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / (nl[st:st + chunk, None] * nr[None, :])
+                mask = (cos >= thr) & (il[st:st + chunk, None] < ir[None, :])
+            ia, ib = np.nonzero(mask)
+            out_a.append(il[st + ia])
+            out_b.append(ir[ib])
+            out_c.append(cos[ia, ib])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    pairs = (
+        left.groupBy("probe", "salt")
+        .cogroup(right.groupBy("probe", "salt"))
+        .applyInPandas(_score_block, out_schema)
     )
-    cand = probes.join(right, ["probe"]).where(F.col("vid") < F.col("vid_b"))
-    cosine = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    ) / (F.col("nrm") * F.col("nrm_b"))
-    return (
-        cand.withColumn("cosine", cosine)
-        .where(F.col("cosine") >= threshold)
-        .select(
-            F.col("vid").alias("id_a"),
-            F.col("vid_b").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
-        )
-    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def duplicate_clusters(
