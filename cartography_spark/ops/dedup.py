@@ -32,12 +32,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """Exact dedup by normalized-content md5.
+def _content_fp(col, hash_fn: str):
+    """Fingerprint family for exact/prefix dedup: md5 for oracle parity,
+    xxhash64 for production (codegen-native, no per-call digest lookup —
+    same split as the MinHash family)."""
+    return F.md5(col) if hash_fn == "md5" else F.xxhash64(col).cast("string")
+
+
+def exact_duplicates(docs: DataFrame, hash_fn: str = "md5") -> DataFrame:
+    """Exact dedup by normalized-content fingerprint.
     Returns doc_id, canonical_doc_id (min doc_id of the content group)."""
     fp = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(F.lower(F.regexp_replace("text", " +", " "))).alias("fp"),
+        _content_fp(F.lower(F.regexp_replace("text", " +", " ")), hash_fn).alias("fp"),
     )
     w = Window.partitionBy("fp")
     return (
@@ -46,12 +53,14 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def prefix_duplicates(docs: DataFrame, prefix_len: int = 64) -> DataFrame:
+def prefix_duplicates(
+    docs: DataFrame, prefix_len: int = 64, hash_fn: str = "md5"
+) -> DataFrame:
     """Blocking-key dedup on a text prefix; returns only docs in groups >1:
     doc_id, canonical_doc_id, group_size."""
     fp = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(F.substring("text", 1, prefix_len)).alias("fp"),
+        _content_fp(F.substring("text", 1, prefix_len), hash_fn).alias("fp"),
     )
     w = Window.partitionBy("fp")
     return (
@@ -62,31 +71,51 @@ def prefix_duplicates(docs: DataFrame, prefix_len: int = 64) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to at least ``defaultParallelism``.
+
+    The corpus often arrives as a handful of parquet files, and a 5 MB file
+    is one scan split no matter what ``maxPartitionBytes`` says — so every
+    narrow stage before the first exchange (explode, hashing, per-row
+    kernels) runs on ONE core.  The compute-heavy operators here pay a tiny
+    shuffle of the raw docs up front to engage the whole executor set; at
+    scale, inputs already have >= parallelism splits and this is a no-op
+    (never repartitions DOWN).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) word-k-shingles.
 
-    ``distinct=True`` gives set semantics (required for Jaccard sizes) at
-    the cost of a full shuffle of the exploded shingles.  ``distinct=False``
-    keeps the multiset and stays NARROW (no shuffle) — correct wherever the
-    consumer is duplicate-insensitive, e.g. MinHash (min over a multiset ==
-    min over its set), which turns the signature computation from a
-    shuffle-the-corpus job into a map-side partial aggregation.
+    ``distinct=True`` gives set semantics (required for Jaccard sizes).
+    Since round 6 this is NARROW too: duplicates of a (doc_id, shingle)
+    pair can only come from within one document, so a per-document
+    ``array_distinct`` before the explode yields exactly the global
+    distinct set without the full shuffle of the exploded corpus the old
+    ``.distinct()`` paid (guide §2.4 — remove shuffles outright).
+    ``distinct=False`` keeps the multiset — correct wherever the consumer
+    is duplicate-insensitive, e.g. MinHash (min over a multiset == min
+    over its set).
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.lower(F.col("text")), " +").alias("t"),
     )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)),
-            )
-        ).alias("shingle"),
+    arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("t") - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)),
+        ),
+        lambda s: F.length(s) > 0,
     )
-    sh = sh.where(F.length("shingle") > 0)
-    return sh.distinct() if distinct else sh
+    if distinct:
+        arr = F.array_distinct(arr)
+    return toks.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -162,21 +191,63 @@ def minhash_signatures(
     one 64-bit base digest across the family only merges hash families on
     a 2^-64 collision — immaterial to LSH banding.
 
-    hash_fn='md5' (oracle parity): keeps the exploded string path — the
-    DuckDB oracle hashes md5 of the literal shingle string, so the string
-    must exist.  Uses multiset shingles + map-side partial agg (min is
-    duplicate-insensitive): at 10^12 docs the shuffle carries num_hashes
-    longs per document, never the shingled corpus.
+    hash_fn='md5' (oracle parity): md5 of the literal ``"{i}:{shingle}"``
+    string, reproduced bit-for-bit by the DuckDB oracle.  Since round 6
+    this runs as a ``mapInPandas`` kernel over the raw docs: Python's
+    ``hashlib.md5`` is the same C digest without the per-call
+    MessageDigest provider lookup Spark's ``md5`` expression pays (the
+    measured anti-scaling hot spot), shingling/min-fold happen per row, and
+    only ``num_hashes`` longs per doc ever leave the worker — same
+    zero-shuffle shape as the xxhash path.  A per-task digest-prefix
+    ``copy()`` amortizes hashing the ``"{i}:"`` prefixes.
     """
     if hash_fn == "md5":
-        sh = _shingles(docs, k, distinct=False)
-        aggs = [F.min(_minhash_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)]
-        sig = sh.groupBy("doc_id").agg(*aggs)
-        return sig.select(
-            "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-        )
+        kk = int(k)
+        nh = int(num_hashes)
 
-    toks = docs.select(
+        def _sig_md5(batches):
+            import hashlib
+            import re
+
+            import pandas as pd
+
+            pat = re.compile(" +")
+            prefixes = [hashlib.md5(f"{i}:".encode()) for i in range(nh)]
+            for pdf in batches:
+                out_ids, out_sigs = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    if text is None or doc_id is None:
+                        continue
+                    t = pat.split(text.lower())
+                    hi = len(t) - kk
+                    if hi < 0:
+                        hi = 0
+                    mins = [None] * nh
+                    seen = set()
+                    for j in range(hi + 1):
+                        s = " ".join(t[j:j + kk])
+                        if not s or s in seen:
+                            continue
+                        seen.add(s)
+                        sb = s.encode()
+                        for i in range(nh):
+                            m = prefixes[i].copy()
+                            m.update(sb)
+                            v = int.from_bytes(m.digest()[:4], "big")
+                            if mins[i] is None or v < mins[i]:
+                                mins[i] = v
+                    if mins[0] is None:
+                        continue
+                    out_ids.append(int(doc_id))
+                    out_sigs.append(mins)
+                yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+        src = _spread(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        return src.mapInPandas(_sig_md5, "doc_id long, sig array<long>")
+
+    toks = _spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.lower(F.col("text")), " +").alias("t"),
     )
@@ -268,7 +339,7 @@ def simhash(docs: DataFrame, bits: int = 32, hash_fn: str = "xxhash") -> DataFra
     bit b of token t = bit b of h(t); simhash bit b is set iff more tokens
     have it set than not.  hash_fn='md5' is oracle-reproducible.
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " +"))).alias("tok"),
     ).where(F.length("tok") > 0)
