@@ -58,8 +58,20 @@ def mention_edges(
         .drop("node_id", "canonical_id")
     )
     # The canonical node's label (it may differ from the matched node's).
-    labels = nodes.select(F.col("id").alias("canonical"), F.col("label").alias("canon_label"))
-    links = links.join(labels, "canonical", "left")
+    # A canonical id that differs from the matched entity is by construction
+    # an identity-bearing node (identity_edges only links AWSUser/OktaUser),
+    # so the lookup frame is restricted to those labels — a fraction of the
+    # full node broadcast — and the unchanged-canonical case reuses the
+    # already-joined entity_label (identical value, no lookup needed).
+    labels = nodes.where(F.col("label").isin("AWSUser", "OktaUser")).select(
+        F.col("id").alias("canonical"), F.col("label").alias("_ident_label")
+    )
+    links = links.join(labels, "canonical", "left").withColumn(
+        "canon_label",
+        F.when(F.col("canonical") == F.col("entity_id"), F.col("entity_label")).otherwise(
+            F.col("_ident_label")
+        ),
+    )
 
     return (
         links.groupBy("doc_id", "canonical", "canon_label")

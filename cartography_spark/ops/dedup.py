@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cartography_spark.core.partition import spread_partitions as _spread
+
 
 def _content_fp(col, hash_fn: str):
     """Fingerprint family for exact/prefix dedup: md5 for oracle parity,
@@ -69,24 +71,6 @@ def prefix_duplicates(
         .where(F.col("group_size") > 1)
         .select("doc_id", "canonical_doc_id", F.col("group_size").cast("long").alias("group_size"))
     )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to at least ``defaultParallelism``.
-
-    The corpus often arrives as a handful of parquet files, and a 5 MB file
-    is one scan split no matter what ``maxPartitionBytes`` says — so every
-    narrow stage before the first exchange (explode, hashing, per-row
-    kernels) runs on ONE core.  The compute-heavy operators here pay a tiny
-    shuffle of the raw docs up front to engage the whole executor set; at
-    scale, inputs already have >= parallelism splits and this is a no-op
-    (never repartitions DOWN).
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
 
 
 def _shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
@@ -308,10 +292,26 @@ def minhash_lsh_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # checkpoint: candidates are tiny (pairs that band-collide) and are
+        # consumed three times below (shared-shingle join + the doc prune);
+        # without the barrier each consumer re-runs the signature+band join
+        .localCheckpoint()
     )
 
-    # Verify candidates with exact shingle Jaccard (semi-join pruned).
-    sh = _shingles(docs, k)
+    # Verify candidates with exact shingle Jaccard — over CANDIDATE DOCS
+    # only.  Jaccard is computed per candidate pair, so shingling the
+    # non-candidate 99% of the corpus was dead work (and after the narrow
+    # _shingles rewrite there is no exchange for Spark to reuse between the
+    # sizes/a/b branches — pruning docs first makes all three cheap).
+    cand_docs = (
+        cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    docs_c = docs.join(
+        cand_docs,
+        docs["doc_id"].cast("long") == cand_docs["doc_id"],
+        "left_semi",
+    )
+    sh = _shingles(docs_c, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -35,7 +35,13 @@ SPAN_TYPE = "struct<kind:string,text:string,media_ref:string,offset:int>"
 @plan_memo
 def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id string, spans array<struct<kind,text,media_ref,offset>>)."""
-    d = read_table(spark, sf_dir, "documents")
+    # spread the doc scan: the whole downstream mention pipeline (span
+    # explode, tokenize, broadcast dictionary join) is narrow until the
+    # first groupBy, and a single-file documents table is one scan split —
+    # without this the pipeline runs on one core (core/partition.py)
+    from cartography_spark.core.partition import spread_partitions
+
+    d = spread_partitions(read_table(spark, sf_dir, "documents"))
     counts = (
         read_table(spark, sf_dir, "customer")
         .agg(F.count(F.lit(1)).alias("n_cust"))
