@@ -290,8 +290,13 @@ def build_graph(
 
         docs = interleaved_documents(spark, sf_dir)
         # mention_edges walks the node frame many times (dictionary,
-        # canonicalization, label join) — cache the union once
-        nodes = nodes.unionByName(document_nodes(docs, tag)).cache()
+        # canonicalization, label join) — materialize the union once.
+        # localCheckpoint instead of cache(): same reuse, but the blocks are
+        # freed by the ContextCleaner when the frame is GC'd (the r5 audit
+        # flagged the unpersist-less cache as a long-lived-driver leak), and
+        # every consumer re-analyzes a leaf RDD scan instead of the 13-branch
+        # union plan (driver plan latency)
+        nodes = nodes.unionByName(document_nodes(docs, tag)).localCheckpoint()
         edges = edges.unionByName(mention_edges(docs, nodes, tag))
 
     return nodes, edges.dropDuplicates(["src_id", "rel_label", "dst_id"])

@@ -136,8 +136,10 @@ def mention_triples(spark, sf_dir: str, update_tag: int = 111111111, impl: str =
 
     docs = interleaved_documents(spark, sf_dir)
     # the node frame feeds the identifier dictionary, canonicalization, and
-    # the label join — cache it once instead of recomputing per branch
-    nodes = fixture_nodes(spark, sf_dir, update_tag).cache()
+    # the label join — materialize it once instead of recomputing per branch
+    # (localCheckpoint, not cache: blocks are GC-freed via ContextCleaner,
+    # and consumers re-analyze a leaf scan, not the 4-family union plan)
+    nodes = fixture_nodes(spark, sf_dir, update_tag).localCheckpoint()
     edges = mention_edges(docs, nodes, update_tag, impl=impl)
     return edges.select(
         F.col("src_id").alias("doc_id"),

@@ -170,22 +170,29 @@ def evaluate_permissions(
     from cartography_spark.functions.arn import arn_service
 
     resources = resources.where(arn_service(F.col("arn")) == service)
-    # chunk id: stable hash bucketing so each chunk stays under chunk_size.
-    # ``n_resources_hint`` (the target label's manifest row count — an upper
-    # bound on the service-pruned distinct set) sizes the chunks WITHOUT an
-    # eager count() job; a 100-row mapping config would otherwise pay 100
-    # extra Spark jobs just to size chunks.  Over-counting only makes chunks
-    # smaller than necessary, never larger than chunk_size.
-    n_res = (
-        n_resources_hint
-        if n_resources_hint is not None
-        else resources.select(F.col("arn")).distinct().count()
-    )
-    n_chunks = max(1, (n_res + chunk_size - 1) // chunk_size)
+    # chunk id: ``n_resources_hint`` (the target label's manifest row count
+    # — an upper bound on the service-pruned distinct set) sizes stable
+    # hash buckets; without a hint, sequential row_number bucketing keeps
+    # chunks under chunk_size with NO eager count() job (r6: the count ran
+    # at plan-assembly time, a whole Spark job before the query even
+    # started).  Chunk membership differs between the two paths, but the
+    # output is chunk-independent: every (principal, resource) pair is
+    # evaluated exactly once either way.  The single-partition window is
+    # safe by design — the chunks are collected into broadcast arrays, so
+    # this path already assumes a dimension-sized resource set.
+    distinct_res = resources.select(F.col("arn").alias("resource_arn")).distinct()
+    if n_resources_hint is not None:
+        n_chunks = max(1, (n_resources_hint + chunk_size - 1) // chunk_size)
+        chunk_col = F.pmod(F.xxhash64("resource_arn"), F.lit(n_chunks))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("resource_arn")
+        chunk_col = ((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_size)).cast(
+            "int"
+        )
     chunks = (
-        resources.select(F.col("arn").alias("resource_arn"))
-        .distinct()
-        .withColumn("chunk", F.pmod(F.xxhash64("resource_arn"), F.lit(n_chunks)))
+        distinct_res.withColumn("chunk", chunk_col)
         .groupBy("chunk")
         .agg(F.collect_list("resource_arn").alias("resources"))
     )

@@ -115,16 +115,35 @@ def ngram_jaccard_pairs(
     Output: doc_a < doc_b, jaccard (4dp).
     """
     sh = _shingles(docs, k)
-    hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # ONE corpus shuffle (guide §2.3/§2.4): group doc ids per shingle, drop
+    # hot shingles by group size (same predicate as the old count>max
+    # suppression), and emit candidate pairs directly from each group's
+    # sorted doc array — the old shape shuffled the exploded corpus again
+    # into a self-join to produce exactly these pairs.  Suppressed groups
+    # are bounded (<= max_shingle_freq docs), so the pair fan-out per
+    # shingle is bounded too.
+    grp = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where(F.size("docs") <= max_shingle_freq)
+        .select(F.array_sort("docs").alias("docs"))
+    )
+    sizes = (
+        grp.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    ds = F.col("docs")
+    pair_arrays = F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    )
     shared = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        grp.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -224,14 +243,24 @@ def minhash_signatures(
                         continue
                     out_ids.append(int(doc_id))
                     out_sigs.append(mins)
-                yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+                if out_ids:  # an all-degenerate batch yields nothing — an
+                    # empty numeric Series cannot Arrow-cast to array<long>
+                    yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
 
         src = _spread(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"), "text"
         )
         return src.mapInPandas(_sig_md5, "doc_id long, sig array<long>")
 
-    toks = _spread(docs).select(
+    # degenerate-doc parity with the md5 path (r5 advice): a NULL/empty text
+    # yields no signature row there (its only shingle is zero-length and is
+    # filtered), while sequence(0, greatest(size-k, 0)) here always yields
+    # position [0] — which would give every empty doc the SAME constant
+    # signature and collide them all into one LSH bucket.  The exclusion set
+    # is exactly {NULL, ""}: any other text produces >= 1 non-empty shingle.
+    toks = _spread(docs).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.lower(F.col("text")), " +").alias("t"),
     )

@@ -196,18 +196,25 @@ def build_ann_index(
     )
 
 
-_INDEX_HANDLES: dict = {}
+import weakref
+
+_INDEX_HANDLES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _index_df(spark, index_path: str) -> DataFrame:
     """Memoized scan handle for a materialized index — re-listing the
     FileIndex per probe costs ~100ms of driver time; the handle (and its
-    partition metadata) is immutable once built."""
-    key = (id(spark), index_path)
-    df = _INDEX_HANDLES.get(key)
+    partition metadata) is immutable once built.  Keyed by a weak reference
+    to the session (not ``id(spark)``): a GC'd and re-created session can
+    alias the raw id, and the weak map drops dead sessions' handles."""
+    per_session = _INDEX_HANDLES.get(spark)
+    if per_session is None:
+        per_session = {}
+        _INDEX_HANDLES[spark] = per_session
+    df = per_session.get(index_path)
     if df is None:
         df = spark.read.parquet(index_path)
-        _INDEX_HANDLES[key] = df
+        per_session[index_path] = df
     return df
 
 

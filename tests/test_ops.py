@@ -120,7 +120,14 @@ def test_decode_real_path_raises(spark):
     from cartography_spark.ops.multimodal import decode_media
     from cartography_spark.sources.docs_synth import exploded_spans, interleaved_documents
 
-    spans = exploded_spans(interleaved_documents(spark, SF_DIR)).limit(5)
+    # take media spans explicitly: row order is not deterministic (the doc
+    # scan is spread), so a bare limit(5) can yield only text spans and the
+    # decode kernel would never run
+    spans = (
+        exploded_spans(interleaved_documents(spark, SF_DIR))
+        .where(F.col("kind").isin("image", "audio"))
+        .limit(5)
+    )
     with pytest.raises(Exception):  # DecodeUnavailable surfaces as PythonException
         decode_media(spans, fake=False).collect()
 
@@ -383,3 +390,67 @@ def test_pack_degenerate_docs(spark):
     stats = {r.source: r for r in pack_stats(df, seq_len=8).collect()}
     assert stats["a"].n_sequences == 0 and stats["a"].fill_ratio == 0.0
     assert stats["b"].total_tokens == 5 and stats["b"].fill_ratio == 0.625
+
+
+def test_minhash_md5_kernel_matches_sql_formula(spark):
+    """r6: the hashlib mapInPandas kernel must reproduce the old JVM
+    conv(substring(md5('{i}:'||shingle),1,8),16,10) family bit-for-bit."""
+    import hashlib
+
+    from cartography_spark.ops.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: list(r.sig) for r in minhash_signatures(docs, hash_fn="md5").collect()}
+
+    def h(i, s):
+        return int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16)
+
+    assert 3 not in out  # empty doc yields no signature (string-path parity)
+    assert out[2] == [h(i, "x y") for i in range(16)]  # short doc: one shingle
+    assert out[1] == [
+        min(h(i, "alpha beta gamma"), h(i, "beta gamma delta")) for i in range(16)
+    ]
+
+
+def test_minhash_degenerate_docs_no_signature(spark):
+    """r5 advice: NULL/empty docs must be absent from BOTH hash families —
+    the per-row xxhash path used to emit a constant signature for them,
+    colliding every empty doc into one LSH bucket."""
+    from cartography_spark.ops.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real text here")], "doc_id long, text string"
+    )
+    for fn in ("md5", "xxhash"):
+        ids = {r.doc_id for r in minhash_signatures(docs, hash_fn=fn).collect()}
+        assert ids == {3}, fn
+
+
+def test_ann_index_memo_survives_session_recreation():
+    """r5 verdict #7: the index-handle memo must not alias a GC'd session's
+    id(); weak-keyed map drops dead sessions and never crosses them."""
+    import gc
+
+    from cartography_spark.ops import similarity as S
+
+    class _FakeRead:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def parquet(self, p):
+            return (self.tag, p)
+
+    class _FakeSession:
+        def __init__(self, tag):
+            self.read = _FakeRead(tag)
+
+    a = _FakeSession("a")
+    h1 = S._index_df(a, "/idx")
+    assert S._index_df(a, "/idx") is h1
+    del a
+    gc.collect()
+    b = _FakeSession("b")
+    assert S._index_df(b, "/idx") == ("b", "/idx")

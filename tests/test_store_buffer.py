@@ -195,6 +195,12 @@ def test_labeledframe_survives_spark_version(spark):
     plain = a.unionByName(_node_rows(spark, "C", range(1), TAG))
     assert getattr(plain, "cartography_labels", None) is None
     assert plain.count() == 3
+    # edge frames carry rel labels the same way
+    e = spark.createDataFrame(
+        [("a-0", "A", "REL", "b-0", "B", None, None, TAG)], EDGES_SCHEMA
+    )
+    le = LabeledFrame(e, ["REL"])
+    assert le.cartography_labels == frozenset({"REL"})
 
 
 @pytest.mark.skip(
@@ -219,13 +225,6 @@ def test_labeledframe_spark_connect_exposure():
     from pyspark.sql.connect.dataframe import DataFrame as ConnectDataFrame
 
     assert not hasattr(ConnectDataFrame, "_jdf")
-
-    # edge frames carry rel labels the same way
-    e = spark.createDataFrame(
-        [("a-0", "A", "REL", "b-0", "B", None, None, TAG)], EDGES_SCHEMA
-    )
-    le = LabeledFrame(e, ["REL"])
-    assert le.cartography_labels == frozenset({"REL"})
 
 
 def test_principal_labels_cover_all_schemas():
