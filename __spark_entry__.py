@@ -405,9 +405,10 @@ def _q_kg_two_tag_users(spark, sf_dir):
                 F.element_at("props", "path").alias("path"),
             )
         )
-        # materialize before the temp dir vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # materialize into block storage before the temp dir vanishes —
+        # localCheckpoint pins the rows executor-side (no driver collect,
+        # r5 audit #2) and the blocks are ContextCleaner-freed
+        return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1467,8 +1468,7 @@ def _q_kg_two_tag_roles(spark, sf_dir):
             .where(F.col("label") == "AWSRole")
             .select("id", "firstseen", "lastupdated")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint()  # survives tempdir removal, no collect
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1516,8 +1516,7 @@ def _q_kg_two_tag_clusters(spark, sf_dir):
             .where(F.col("label") == "EMRCluster")
             .select("id", "firstseen", "lastupdated")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint()  # survives tempdir removal, no collect
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2024,8 +2023,7 @@ def _q_kg_two_tag_pods(spark, sf_dir):
             .where(F.col("label") == "KubernetesPod")
             .select("id", "firstseen", "lastupdated")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out.localCheckpoint()  # survives tempdir removal, no collect
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

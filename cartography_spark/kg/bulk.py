@@ -282,7 +282,10 @@ def build_graph(
     edges = edge_parts[0]
     for p in edge_parts[1:]:
         edges = edges.unionByName(p)
-    edges = edges.repartition(nparts, "rel_label", "src_id")
+    # no consolidating repartition here (r6): the terminal
+    # dropDuplicates(src, rel, dst) below performs its own exchange on its
+    # key — an earlier repartition on (rel_label, src_id) was a second full
+    # shuffle of the edge set that the dedup exchange immediately re-keyed
 
     if with_documents:
         from cartography_spark.kg.materialize import document_nodes, mention_edges

@@ -316,9 +316,11 @@ def ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Index-free ANN (single shot): buckets computed on the fly, candidates
-    filtered post-scan.  Use :func:`build_ann_index` + the ``_indexed``
-    probes when the table is reused — only the materialized form turns the
-    bucket filter into physical partition pruning."""
+    filtered post-scan — this is O(corpus) per query (every vector is
+    re-bucketed and scanned; only the cosine set shrinks).  Use
+    :func:`build_ann_index` + the ``_indexed`` probes when the table is
+    reused — only the materialized form turns the bucket filter into
+    physical partition pruning and makes probe cost O(probed buckets)."""
     dim = len(query_vec)
     bucketed = lsh_bucket(embeddings, dim, num_planes, id_col, vec_col)
     probes = _probe_buckets(query_vec, num_planes, probe_radius)
