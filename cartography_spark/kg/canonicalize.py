@@ -59,7 +59,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
 
     prev_sig = None
     for _ in range(max_rounds):
-        e = small_star(large_star(e)).localCheckpoint()
+        # lazy checkpoint: the signature action below materializes it, so
+        # each round is ONE job (checkpoint+agg) instead of two — the loop
+        # on small edge lists is pure job latency (r6)
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
