@@ -2226,7 +2226,17 @@ def _sim_ann_lsh_sql(num_planes: int = 6, probe_radius: int = 2, dim: int = 64) 
     ``_hyperplane`` formula — so both engines compute identical sign
     buckets, the identical radius-``probe_radius`` multiprobe set for the
     vec_id=0 query, and exact cosine over the identical candidate set.
-    ``dim`` matches the fixture embedding width (all SFs emit 64)."""
+    ``dim`` matches the fixture embedding width (all SFs emit 64).
+
+    fp-tolerance assumption (r5 advice): the plane dot products and the
+    6dp-rounded cosines are float64 sums computed in different engines
+    (Spark's sequential fold vs DuckDB's list_sum); a dot product within
+    ~1 ulp of 0, or a cosine whose 6th decimal sits within ~1 ulp of a
+    rounding boundary at the k=20 rank cut, could in principle flip bucket
+    membership or rank between engines.  The deterministic fixtures were
+    checked to sit far from both boundaries at every shipped SF (the gate
+    passes bit-exact at sf0.001/0.01/0.1); regenerated fixtures must
+    re-verify this property rather than assume it."""
     from itertools import combinations
 
     masks = [0]

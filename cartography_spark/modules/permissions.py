@@ -312,18 +312,29 @@ def sts_assumerole_pairs(
         "role_arn", arn_account(F.col("trusted")).alias("trusted_acct")
     )
 
-    # candidate pairs: principal in the trusted account x role trusting it;
-    # self-assume excluded.  Join keys are account ids — the classic hot-key
-    # axis (one big tenant): AQE skew handling applies; for a pathological
-    # tenant, salt root_trusts on trusted_acct.
-    cand = principals.join(
-        root_trusts, principals["acct"] == root_trusts["trusted_acct"], "inner"
-    ).where(F.col("principal_arn") != F.col("role_arn"))
+    # candidate roles grouped PER ACCOUNT first (r6): accounts are a tiny
+    # dimension, so the grouped role arrays broadcast and each principal
+    # picks up its whole candidate set in one narrow join — the old shape
+    # exploded (principal x role) pairs through a shuffle only to
+    # collect_list them straight back per principal.  Self-assume drops via
+    # array_remove (identical to the old per-pair != filter); a principal
+    # whose only candidate is itself keeps an empty array and contributes
+    # no output rows, exactly like its absence from the old pair frame.
+    roles_by_acct = root_trusts.groupBy("trusted_acct").agg(
+        F.array_distinct(F.collect_list("role_arn")).alias("acct_roles")
+    )
+    from cartography_spark.core.partition import spread_partitions
 
-    # group each principal's candidate roles into one array row: the policy
-    # JSON crosses Arrow once per principal, not once per candidate pair
-    grouped = cand.groupBy("principal_arn").agg(
-        F.array_distinct(F.collect_list("role_arn")).alias("roles")
+    # the broadcast join keeps the pipeline narrow, so the UDF would run at
+    # the principal scan's split count — spread the principal side first
+    principals = spread_partitions(principals)
+    grouped = principals.join(
+        F.broadcast(roles_by_acct),
+        principals["acct"] == roles_by_acct["trusted_acct"],
+        "inner",
+    ).select(
+        "principal_arn",
+        F.array_remove("acct_roles", F.col("principal_arn")).alias("roles"),
     )
     pstmts = _principal_statements(policies, statements)
     grouped = grouped.join(pstmts, "principal_arn", "inner")
