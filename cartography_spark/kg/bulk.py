@@ -83,13 +83,26 @@ def build_graph(
     o_users, o_members = fx.okta_users(spark, sf_dir), fx.okta_group_members(spark, sf_dir)
 
     tag = update_tag
+    # compiled once, reused by both the node union and the edge-phase target
+    # lookups below — each compile_nodes costs ~20 ms of driver py4j latency.
+    # dedupe=False throughout: every bulk family id is an injective formula
+    # over a distinct source key (custkey/suppkey/nationkey/regionkey PKs, or
+    # an explicit .distinct() for groups/buckets), so the MERGE-collapse
+    # window is a no-op — skipping it removes one exchange+sort per family
+    # (11 total) from the node-union materialization (same contract as
+    # fixture_nodes in kg/materialize.py; uniqueness asserted per family by
+    # tests/test_bulk.py::test_bulk_family_ids_unique)
+    acct_node_df = compile_nodes(accounts, ACCOUNT_SCHEMA, tag, {"inscope": "true"}, dedupe=False)
+    group_node_df = compile_nodes(groups, GROUP_SCHEMA, tag, dedupe=False)
+    okta_org_node_df = compile_nodes(o_orgs, OKTA_ORG_SCHEMA, tag, dedupe=False)
+    okta_group_node_df = compile_nodes(o_groups, OKTA_GROUP_SCHEMA, tag, dedupe=False)
     node_parts = [
-        compile_nodes(accounts, ACCOUNT_SCHEMA, tag, {"inscope": "true"}),
-        compile_nodes(users, USER_SCHEMA, tag),
-        compile_nodes(groups, GROUP_SCHEMA, tag),
-        compile_nodes(roles.drop("trust_principals"), ROLE_SCHEMA, tag),
-        compile_nodes(clusters, EMR_CLUSTER_SCHEMA, tag),
-        compile_nodes(buckets, S3_SCHEMA, tag),
+        acct_node_df,
+        compile_nodes(users, USER_SCHEMA, tag, dedupe=False),
+        group_node_df,
+        compile_nodes(roles.drop("trust_principals"), ROLE_SCHEMA, tag, dedupe=False),
+        compile_nodes(clusters, EMR_CLUSTER_SCHEMA, tag, dedupe=False),
+        compile_nodes(buckets, S3_SCHEMA, tag, dedupe=False),
         compile_nodes(
             policies.withColumnRenamed("policy_id", "pid"),
             NodeSchema(
@@ -98,6 +111,7 @@ def build_graph(
                 properties={"name": PropertyRef("name"), "principal_arn": PropertyRef("principal_arn")},
             ),
             tag,
+            dedupe=False,
         ),
         compile_nodes(
             statements,
@@ -111,10 +125,11 @@ def build_graph(
                 },
             ),
             tag,
+            dedupe=False,
         ),
-        compile_nodes(o_orgs, OKTA_ORG_SCHEMA, tag),
-        compile_nodes(o_groups, OKTA_GROUP_SCHEMA, tag),
-        compile_nodes(o_users, OKTA_USER_SCHEMA, tag),
+        okta_org_node_df,
+        okta_group_node_df,
+        compile_nodes(o_users, OKTA_USER_SCHEMA, tag, dedupe=False),
     ]
 
     # trust principals + synthesized foreign accounts
@@ -173,9 +188,6 @@ def build_graph(
     nodes = nodes.repartition(nparts, "label", "id")
 
     # ---- edges --------------------------------------------------------------
-    acct_node_df = compile_nodes(accounts, ACCOUNT_SCHEMA, tag, {"inscope": "true"})
-    group_node_df = compile_nodes(groups, GROUP_SCHEMA, tag)
-
     edge_parts = [
         compile_edges(users, USER_SCHEMA, acct_node_df, tag),
         compile_edges(groups, GROUP_SCHEMA, acct_node_df, tag),
@@ -183,15 +195,9 @@ def build_graph(
         compile_edges(clusters, EMR_CLUSTER_SCHEMA, acct_node_df, tag),
         compile_edges(buckets, S3_SCHEMA, acct_node_df, tag),
         compile_edges(memberships, MEMBERSHIP_SCHEMA, group_node_df, tag),
-        compile_edges(
-            o_groups, OKTA_GROUP_SCHEMA, compile_nodes(o_orgs, OKTA_ORG_SCHEMA, tag), tag
-        ),
-        compile_edges(
-            o_users, OKTA_USER_SCHEMA, compile_nodes(o_orgs, OKTA_ORG_SCHEMA, tag), tag
-        ),
-        compile_edges(
-            o_members, OKTA_MEMBER_SCHEMA, compile_nodes(o_groups, OKTA_GROUP_SCHEMA, tag), tag
-        ),
+        compile_edges(o_groups, OKTA_GROUP_SCHEMA, okta_org_node_df, tag),
+        compile_edges(o_users, OKTA_USER_SCHEMA, okta_org_node_df, tag),
+        compile_edges(o_members, OKTA_MEMBER_SCHEMA, okta_group_node_df, tag),
         trusts.selectExpr(
             *_edge("role_arn", "AWSRole", "TRUSTS_AWS_PRINCIPAL", "principal", "AWSPrincipal", tag)
         ),
