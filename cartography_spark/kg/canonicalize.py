@@ -107,7 +107,7 @@ def identity_edges(nodes: DataFrame) -> DataFrame:
     return emails.unionByName(logins)
 
 
-def canonical_mapping(nodes: DataFrame) -> DataFrame:
+def canonical_mapping(nodes: DataFrame, assume_forest: bool = False) -> DataFrame:
     """(node_id, canonical_id): every identity-bearing node -> its canonical
     representative (lexicographic min *real* node id of its component; key
     hubs are excluded from candidacy).
@@ -119,15 +119,28 @@ def canonical_mapping(nodes: DataFrame) -> DataFrame:
     O(log n) rounds x 2 shuffles).  The forest check is one cheap agg; any
     multi-key bridge (a node holding two identity keys) falls back to the
     general large-star/small-star loop.
+
+    ``assume_forest=True`` skips the runtime forest check — an entire Spark
+    job (the check is a driver-side branch, so it cannot fuse with the
+    mapping computation).  Callers may pass it ONLY when the at-most-one-hub
+    property is provable from the data's construction: each identity-bearing
+    node contributes at most one key (a map prop holds a single email/login
+    value) and the two labels' id namespaces are disjoint (IAM ARNs vs
+    ``okta-*``), so no src can reach two hubs.  Violating the contract
+    silently degrades to per-hub (not per-component) canonicalization;
+    when in doubt keep the default runtime check.
     """
     edges = identity_edges(nodes)
-    bridge = (
-        edges.groupBy("src")
-        .agg(F.count_distinct("dst").alias("k"))
-        .agg(F.max("k").alias("mx"))
-        .collect()
-    )
-    max_hubs = bridge[0]["mx"] if bridge and bridge[0]["mx"] is not None else 0
+    if assume_forest:
+        max_hubs = 1
+    else:
+        bridge = (
+            edges.groupBy("src")
+            .agg(F.count_distinct("dst").alias("k"))
+            .agg(F.max("k").alias("mx"))
+            .collect()
+        )
+        max_hubs = bridge[0]["mx"] if bridge and bridge[0]["mx"] is not None else 0
     if max_hubs <= 1:
         rep = edges.groupBy("dst").agg(F.min("src").alias("canonical_id"))
         return edges.join(rep, "dst").select(

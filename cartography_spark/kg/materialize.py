@@ -38,6 +38,7 @@ def mention_edges(
     nodes: DataFrame,
     update_tag: int,
     impl: str = "native",
+    assume_forest: bool = False,
 ) -> DataFrame:
     """(Document)-[:MENTIONS]->(canonical entity) with span provenance.
 
@@ -51,7 +52,7 @@ def mention_edges(
     dims = identifier_dictionary(nodes)
     links = link_mentions(mentions, dims)
 
-    canon = canonical_mapping(nodes)
+    canon = canonical_mapping(nodes, assume_forest=assume_forest)
     links = (
         links.join(canon, links["entity_id"] == canon["node_id"], "left")
         .withColumn("canonical", F.coalesce("canonical_id", "entity_id"))
@@ -140,7 +141,11 @@ def mention_triples(spark, sf_dir: str, update_tag: int = 111111111, impl: str =
     # (localCheckpoint, not cache: blocks are GC-freed via ContextCleaner,
     # and consumers re-analyze a leaf scan, not the 4-family union plan)
     nodes = fixture_nodes(spark, sf_dir, update_tag).localCheckpoint()
-    edges = mention_edges(docs, nodes, update_tag, impl=impl)
+    # assume_forest: fixture ids give AWSUser (IAM ARN) and OktaUser
+    # (okta-*) disjoint namespaces and one email/login key per node — the
+    # forest property holds by construction, so the runtime check job is
+    # skipped (see canonical_mapping's contract)
+    edges = mention_edges(docs, nodes, update_tag, impl=impl, assume_forest=True)
     return edges.select(
         F.col("src_id").alias("doc_id"),
         F.col("rel_label"),
@@ -158,5 +163,8 @@ def sync_documents(
     if store.stage_done(stage, update_tag):
         return
     nodes = document_nodes(docs, update_tag)
-    edges = mention_edges(docs, store.nodes(), update_tag, impl=impl)
+    # same provable forest contract as mention_triples: the store's
+    # AWSUser/OktaUser slices are loaded from the fixtures' disjoint id
+    # namespaces with at most one identity key per node
+    edges = mention_edges(docs, store.nodes(), update_tag, impl=impl, assume_forest=True)
     store.upsert(nodes, edges, stage, update_tag)

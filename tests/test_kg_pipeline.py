@@ -107,6 +107,13 @@ def test_canonicalization_merges_iam_and_okta(spark, store):
     assert m["okta-9"] == "arn:aws:iam::1:user/u1"
     assert m["arn:aws:iam::1:user/u1"] == "arn:aws:iam::1:user/u1"
     assert m["arn:aws:iam::1:user/u2"] == "arn:aws:iam::1:user/u2"
+    # assume_forest skips the runtime bridge-check job; on forest-shaped
+    # identity data (the provable call-site contract) it must be identical
+    m_fast = {
+        r.node_id: r.canonical_id
+        for r in canonical_mapping(nodes, assume_forest=True).collect()
+    }
+    assert m_fast == m
 
 
 def test_end_to_end_sync_triples(spark, store):
