@@ -180,12 +180,15 @@ def build_graph(
     nodes = node_parts[0]
     for p in node_parts[1:] + [spn_nodes, acct_nodes, tag_nodes]:
         nodes = nodes.unionByName(p)
-    # A union of N branches is narrow — it keeps the SUM of branch partitions
-    # (13 x shuffle.partitions here) and AQE cannot coalesce narrow unions.
-    # One consolidating shuffle keyed on the downstream join key fixes every
-    # consumer's task count.
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    nodes = nodes.repartition(nparts, "label", "id")
+    # No consolidating repartition (r6): with dedupe=False the family
+    # branches are scan-split-sized narrow projections (1-2 partitions each,
+    # not a 32-partition window exchange per family), so the narrow union
+    # stays at a few dozen partitions — the full-node-set shuffle that used
+    # to consolidate it cost more than the task-count it saved (measured at
+    # sf0.1: graph_commit 7.6 -> 5.5 s).  The three synthesized branches
+    # (spn/acct/tag) end in AQE-coalesced exchanges, and every consumer of
+    # the checkpoint re-keys for itself (the store write repartitions on
+    # (label, id); dictionary/canonicalization aggregate on their own keys).
 
     # ---- edges --------------------------------------------------------------
     edge_parts = [
